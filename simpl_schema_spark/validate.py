@@ -1,0 +1,152 @@
+"""Validation entry points: DataFrame in → violations out, single pass.
+
+The composed pipeline mirrors the reference's ``validator({clean: true})``
+single-pass shape (reference SimpleSchema.ts:897-907): one projection carries
+clean + validate + stats, so Catalyst fuses everything with the scan
+(whole-stage codegen) and the table is read exactly once.
+
+Outputs:
+- :func:`with_violations` — input DF + ``violations`` array<struct> column
+- :func:`violations_table` — exploded relational form
+  ``(id…, name, type, value, dataType, min, max, regExp, minCount, maxCount)``
+  — the reference's ``error.details`` array (SimpleSchema.ts:855-862)
+  reproduced relationally
+- :class:`ValidationResult` — ValidationContext analog
+  (reference src/ValidationContext.ts:26-139)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .compiler.compile import RuleCompiler
+from .errors import VIOLATION_SCHEMA
+from .schema.schema import SimpleSchema
+
+__all__ = [
+    "with_violations",
+    "violations_table",
+    "ValidationResult",
+    "validate",
+]
+
+
+def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
+    """Attach Arrow-vectorized custom-validator columns.
+
+    Each rule is a Python callable ``value -> error-type | None``.  We wrap it
+    in ONE pandas UDF per rule (Arrow batch transfer, no per-row Python in
+    the JVM↔Python bridge; the user fn itself runs per element unless it is
+    marked ``vectorized`` and operates on the whole Series).
+    """
+    def make_udf(fn):
+        if getattr(fn, "vectorized", False):
+
+            def _apply(s: pd.Series) -> pd.Series:
+                return fn(s)
+
+        else:
+
+            def _apply(s: pd.Series) -> pd.Series:
+                return s.map(lambda v: fn(v) if v is not None else fn(None))
+
+        return F.pandas_udf(_apply, T.StringType())
+
+    for rule in rules:
+        df = df.withColumn(
+            rule.column_name, make_udf(rule.fn)(F.col(rule.input_cols[0]))
+        )
+    return df
+
+
+def with_violations(
+    df: DataFrame,
+    schema: SimpleSchema,
+    *,
+    violations_col: str = "violations",
+    keys: Optional[list[str]] = None,
+    ignore: Optional[list[str]] = None,
+    extra_key_policy: str = "violation",
+) -> DataFrame:
+    """Return ``df`` plus an ``array<violation>`` column — the single-pass
+    rule forest. No shuffle; fuses with the scan."""
+    compiler = RuleCompiler(
+        schema,
+        df.schema,
+        keys=keys,
+        ignore=ignore,
+        extra_key_policy=extra_key_policy,
+    )
+    col = compiler.violations_column()
+    if compiler.pandas_rules:
+        df = _apply_pandas_rules(df, compiler.pandas_rules)
+    out = df.withColumn(violations_col, col)
+    if compiler.pandas_rules:
+        out = out.drop(*[r.column_name for r in compiler.pandas_rules])
+    return out
+
+
+def violations_table(
+    df: DataFrame,
+    schema: SimpleSchema,
+    id_cols: Iterable[str] = ("url",),
+    **kwargs: Any,
+) -> DataFrame:
+    """Exploded violations keyed by the given id columns."""
+    id_cols = list(id_cols)
+    vdf = with_violations(df, schema, **kwargs)
+    return vdf.select(
+        *[F.col(c) for c in id_cols],
+        F.explode("violations").alias("violation"),
+    ).select(*id_cols, "violation.*")
+
+
+class ValidationResult:
+    """ValidationContext analog over a validated DataFrame.
+
+    Unlike the reference's mutable per-document context, this wraps the
+    distributed result; driver-side accessors collect only what they need.
+    """
+
+    def __init__(self, df_with_violations: DataFrame, schema: SimpleSchema):
+        self._df = df_with_violations
+        self._schema = schema
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def is_valid(self) -> bool:
+        """True if no row has any violation (one job, early-exit via limit)."""
+        return (
+            self._df.where(F.size("violations") > 0).limit(1).count() == 0
+        )
+
+    def invalid_count(self) -> int:
+        return self._df.where(F.size("violations") > 0).count()
+
+    def validation_errors(self, limit: int = 1000) -> list[dict]:
+        rows = (
+            self._df.select(F.explode("violations").alias("v"))
+            .limit(limit)
+            .collect()
+        )
+        return [row.v.asDict() for row in rows]
+
+    def error_messages(self, limit: int = 1000) -> list[str]:
+        return [
+            self._schema.message_for_error(e)
+            for e in self.validation_errors(limit)
+        ]
+
+
+def validate(
+    df: DataFrame,
+    schema: SimpleSchema,
+    **kwargs: Any,
+) -> ValidationResult:
+    return ValidationResult(with_violations(df, schema, **kwargs), schema)
