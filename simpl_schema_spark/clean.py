@@ -1,0 +1,374 @@
+"""clean() — normalization pipeline as ONE Spark projection.
+
+Reproduces the reference's cleaning semantics columnar-ly
+(``/root/reference/src/clean.ts:29-190``,
+``src/clean/convertToProperType.ts:11-65``), per-node order preserved:
+
+    filter → autoConvert → trimStrings → removeEmptyStrings → autoValues
+
+Default options mirror ``src/SimpleSchema.ts:108-120``: ``autoConvert=True,
+filter=True, removeEmptyStrings=True, trimStrings=True, getAutoValues=True,
+removeNullsFromArrays=False``.
+
+Columnar adaptations (documented deviations, all asserted in tests):
+
+- "remove key" becomes "set NULL" for scalars (a fixed-schema column can't be
+  absent per-row); a column/struct-field *filtered out by the schema* is
+  dropped at compile time (same observable effect: the key is gone for every
+  row, matching clean.ts:80-94).
+- autoConvert may change a column's type (string→double etc.). Rows that fail
+  to convert become NULL in the converted column; the composed
+  clean-then-validate pipeline (see :func:`clean_and_validate` in
+  ``pipeline.py``) still reports ``expectedType`` with the ORIGINAL value,
+  preserving the reference's "leave it; will fail validation" behavior
+  (convertToProperType.ts:33).
+- ``defaultValue``/autoValue "isSet" can't distinguish explicit null from
+  missing (JSON null vs absent); null counts as unset.
+
+JS parity details:
+
+- trim uses the JS WhiteSpace ∪ LineTerminator set (TAB VT FF SP NBSP ZWNBSP
+  Zs LF CR LS PS), NOT Spark's ASCII-space ``F.trim`` — byte-identical text
+  parity requires this (BASELINE.json per-row invariant).
+- number→string renders like JS ``toString`` ('1', not '1.0').
+- string→number uses ``Number(value)`` semantics for nonempty strings.
+- string 'true'/'false' (case-insensitive) → boolean; number → ``value != 0``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .schema.schema import SimpleSchema
+from .schema.types import (
+    AnyType,
+    ArrayType,
+    Binary,
+    Boolean,
+    DateType,
+    Integer,
+    Number,
+    ObjectType,
+    String,
+    TypeToken,
+)
+from .compiler.compile import _type_matches, _FRACTIONAL_TYPES, _NUMERIC_TYPES
+
+__all__ = ["clean", "spark_auto_value", "js_trim", "JS_WS_CLASS", "js_number_to_string"]
+
+#: JS WhiteSpace ∪ LineTerminator (ECMA-262 11.2/11.3): TAB VT FF SP NBSP
+#: ZWNBSP + Unicode Zs + LF CR LS PS.  Java \s covers TAB LF VT FF CR SP.
+JS_WS_CLASS = (
+    "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000\\uFEFF]"
+)
+
+
+def js_trim(col: Column) -> Column:
+    """String.prototype.trim parity (strips the JS whitespace set)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, f"^{JS_WS_CLASS}+", ""), f"{JS_WS_CLASS}+$", ""
+    )
+
+
+def js_number_to_string(col: Column, dtype: T.DataType) -> Column:
+    """JS Number#toString: whole doubles render without '.0'."""
+    if isinstance(dtype, _FRACTIONAL_TYPES):
+        return F.when(
+            (~F.isnan(col))
+            & (col == F.floor(col))
+            & (F.abs(col) < F.lit(1e16)),
+            col.cast("decimal(20,0)").cast("string"),
+        ).otherwise(col.cast("string"))
+    return col.cast("string")
+
+
+def spark_auto_value(fn: Callable) -> Callable:
+    """Mark an autoValue as a Spark-expression function.
+
+    ``fn(ctx)`` receives an :class:`AutoValueContext` and returns a Column
+    (the new value) — the vectorized fast path for the reference's autoValue
+    functions (src/clean/AutoValueRunner.ts:42-147).
+    """
+    fn._is_spark_auto_value = True  # type: ignore[attr-defined]
+    return fn
+
+
+class AutoValueContext:
+    """Compile-time context for @spark_auto_value functions."""
+
+    def __init__(self, key: str, value: Column, df: DataFrame, operator=None):
+        self.key = key
+        self.value = value
+        self.operator = operator
+        self.is_upsert = False
+        self._df = df
+
+    def field(self, name: str) -> Column:
+        return F.col(name.replace(".", "."))
+
+    def sibling_field(self, name: str) -> Column:
+        parts = self.key.split(".")
+        parts[-1] = name
+        return F.col(".".join(parts))
+
+
+def clean(
+    df: DataFrame,
+    schema: SimpleSchema,
+    *,
+    filter: bool = True,  # noqa: A002
+    auto_convert: bool = True,
+    remove_empty_strings: bool = True,
+    trim_strings: bool = True,
+    get_auto_values: bool = True,
+    remove_nulls_from_arrays: bool = False,
+) -> DataFrame:
+    """Return the cleaned DataFrame (one projection, no shuffle)."""
+    out, _ = clean_with_info(
+        df,
+        schema,
+        filter=filter,
+        auto_convert=auto_convert,
+        remove_empty_strings=remove_empty_strings,
+        trim_strings=trim_strings,
+        get_auto_values=get_auto_values,
+        remove_nulls_from_arrays=remove_nulls_from_arrays,
+    )
+    return out
+
+
+def clean_with_info(
+    df: DataFrame,
+    schema: SimpleSchema,
+    *,
+    filter: bool = True,  # noqa: A002
+    auto_convert: bool = True,
+    remove_empty_strings: bool = True,
+    trim_strings: bool = True,
+    get_auto_values: bool = True,
+    remove_nulls_from_arrays: bool = False,
+    keep_originals_of_converted: bool = False,
+) -> "tuple[DataFrame, _Cleaner]":
+    """clean() + the compiler info (converted keys) for the composed
+    clean-then-validate pipeline.  With ``keep_originals_of_converted`` the
+    output also carries ``__orig_<key>`` copies of auto-converted columns so
+    the validator can report original offending values."""
+    cleaner = _Cleaner(
+        schema,
+        filter=filter,
+        auto_convert=auto_convert,
+        remove_empty_strings=remove_empty_strings,
+        trim_strings=trim_strings,
+        remove_nulls_from_arrays=remove_nulls_from_arrays,
+    )
+    out_cols: list[Column] = []
+    for f in df.schema.fields:
+        generic = f.name
+        if filter and not schema.allows_key(generic):
+            continue  # filter: drop unknown columns (clean.ts:80-94)
+        expr = cleaner.clean_value(generic, F.col(f.name), f.dataType)
+        out_cols.append(expr.alias(f.name))
+    if keep_originals_of_converted:
+        for key in cleaner.converted:
+            out_cols.append(F.col(key).alias(f"__orig_{key}"))
+    result = df.select(*out_cols)
+
+    if get_auto_values:
+        result = _apply_auto_values(result, schema)
+    return result, cleaner
+
+
+class _Cleaner:
+    def __init__(self, schema: SimpleSchema, **opts: bool) -> None:
+        self.schema = schema
+        self.merged = schema.merged_schema()
+        self.opts = opts
+        #: top-level keys whose type was auto-converted: generic -> orig dtype
+        self.converted: dict[str, T.DataType] = {}
+
+    def _alternatives(self, generic: str) -> list[dict]:
+        d = self.merged.get(generic)
+        if d is None:
+            return []
+        outer = {k: v for k, v in d.items() if k != "type"}
+        return [{**outer, **alt} for alt in d["type"].definitions]
+
+    def clean_value(self, generic: str, value: Column, dtype: T.DataType) -> Column:
+        alts = self._alternatives(generic)
+        if not alts:
+            return value
+        if any(a.get("blackbox") is True or a.get("type") is AnyType for a in alts):
+            return value  # blackbox subtrees are never cleaned (clean.ts guard)
+
+        first_type = alts[0].get("type")
+        types = [a.get("type") for a in alts]
+
+        # -------- containers ------------------------------------------------
+        if isinstance(dtype, T.StructType) and (
+            first_type is ObjectType or isinstance(first_type, SimpleSchema)
+        ):
+            fields = []
+            for sub in dtype.fields:
+                child = f"{generic}.{sub.name}"
+                if self.opts["filter"] and not self.schema.allows_key(child):
+                    continue
+                fields.append(
+                    self.clean_value(
+                        child, value.getField(sub.name), sub.dataType
+                    ).alias(sub.name)
+                )
+            if not fields:
+                return value  # nothing allowed; caller drops at top level only
+            rebuilt = F.struct(*fields)
+            return F.when(value.isNotNull(), rebuilt)
+
+        if isinstance(dtype, T.ArrayType) and ArrayType in types:
+            item_generic = f"{generic}.$"
+            cleaned = F.transform(
+                value,
+                lambda x: self.clean_value(item_generic, x, dtype.elementType),
+            )
+            if self.opts["remove_nulls_from_arrays"]:
+                cleaned = F.filter(cleaned, lambda x: x.isNotNull())
+            return F.when(value.isNotNull(), cleaned)
+
+        # -------- autoConvert: scalar → Array wrap (convertToProperType.ts:61)
+        if (
+            self.opts["auto_convert"]
+            and ArrayType in types
+            and not isinstance(dtype, (T.ArrayType, T.StructType, T.MapType))
+        ):
+            item_generic = f"{generic}.$"
+            item = self.clean_value(item_generic, value, dtype)
+            return F.when(value.isNotNull(), F.array(item))
+
+        # -------- scalars ----------------------------------------------------
+        out = value
+        out_dtype = dtype
+        if self.opts["auto_convert"]:
+            type_ok = any(
+                isinstance(t, TypeToken) and _type_matches(t, dtype)
+                for t in types
+                if t is not None and not isinstance(t, SimpleSchema)
+            )
+            if not type_ok and isinstance(first_type, TypeToken):
+                converted = _convert(out, dtype, first_type)
+                if converted is not None:
+                    out, out_dtype = converted
+                    if "." not in generic:
+                        self.converted[generic] = dtype
+
+        if isinstance(out_dtype, T.StringType):
+            trim_disabled = any(a.get("trim") is False for a in alts)
+            if self.opts["trim_strings"] and not trim_disabled:
+                out = F.when(value.isNotNull(), js_trim(out))
+            if self.opts["remove_empty_strings"]:
+                out = F.nullif(out, F.lit(""))
+        return out
+
+
+def _convert(
+    value: Column, dtype: T.DataType, target: TypeToken
+) -> Optional[tuple[Column, T.DataType]]:
+    """convertToProperType.ts:11-65 — compile-time typed conversions.
+
+    Returns (expr, new_dtype) or None when no conversion applies.  Arrays,
+    structs, maps and null inputs never convert (ts:13-20).
+    """
+    if isinstance(dtype, (T.ArrayType, T.StructType, T.MapType, T.NullType)):
+        return None
+
+    if target is String:
+        if isinstance(dtype, T.StringType):
+            return None
+        if isinstance(dtype, T.BinaryType):
+            return None  # typed arrays are opaque
+        return js_number_to_string(value, dtype), T.StringType()
+
+    if target in (Number, Integer):
+        if isinstance(dtype, T.StringType):
+            # Number(value) for nonempty strings; JS quirk: whitespace-only
+            # nonempty strings coerce to 0.  Unparseable → NULL here, with the
+            # original-value expectedType reported by the composed pipeline.
+            converted = F.when(
+                F.length(value) > 0,
+                F.coalesce(
+                    value.try_cast("double"),
+                    F.when(js_trim(value) == "", F.lit(0.0)),
+                ),
+            )
+            return converted, T.DoubleType()
+        return None
+
+    if target is DateType:
+        if isinstance(dtype, T.StringType):
+            ts = F.coalesce(
+                value.try_cast("timestamp"),
+                F.try_to_timestamp(value, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+                F.try_to_timestamp(value, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+            )
+            return ts, T.TimestampType()
+        if isinstance(dtype, _NUMERIC_TYPES):
+            # epoch milliseconds (convertToProperType.ts:46)
+            return F.timestamp_millis(value.cast("long")), T.TimestampType()
+        return None
+
+    if target is Boolean:
+        if isinstance(dtype, T.StringType):
+            lowered = F.lower(value)
+            converted = (
+                F.when(lowered == "true", F.lit(True))
+                .when(lowered == "false", F.lit(False))
+            )
+            return converted, T.BooleanType()
+        if isinstance(dtype, _NUMERIC_TYPES):
+            if isinstance(dtype, _FRACTIONAL_TYPES):
+                return (
+                    F.when(~F.isnan(value), value != 0),
+                    T.BooleanType(),
+                )
+            return value != 0, T.BooleanType()
+        return None
+
+    return None
+
+
+def _apply_auto_values(df: DataFrame, schema: SimpleSchema) -> DataFrame:
+    """defaultValue + @spark_auto_value functions, parents-first by dot-depth,
+    stable within depth (src/clean/setAutoValues.ts:15-36)."""
+    avs = schema.auto_value_functions()
+    avs.sort(key=lambda kv: kv[0].count("."))
+    for key, fn in avs:
+        if "$" in key:
+            continue  # array-position autoValues: transform path, round 2
+        top = key.split(".")[0]
+        if top not in df.columns:
+            continue
+        if getattr(fn, "is_default", False):
+            default = getattr(fn, "default_value", None)
+            df = _set_path(df, key, lambda c: F.coalesce(c, F.lit(default)))
+        elif getattr(fn, "_is_spark_auto_value", False):
+            ctx = AutoValueContext(key, _path_col(df, key), df)
+            new_val = fn(ctx)
+            if new_val is not None:
+                df = _set_path(df, key, lambda c, nv=new_val: nv)
+    return df
+
+
+def _path_col(df: DataFrame, key: str) -> Column:
+    parts = key.split(".")
+    col = F.col(parts[0])
+    for p in parts[1:]:
+        col = col.getField(p)
+    return col
+
+
+def _set_path(df: DataFrame, key: str, update: Callable[[Column], Column]) -> DataFrame:
+    parts = key.split(".")
+    if len(parts) == 1:
+        return df.withColumn(key, update(F.col(key)))
+    top = parts[0]
+    rest = ".".join(parts[1:])
+    return df.withColumn(top, F.col(top).withField(rest, update(_path_col(df, key))))
