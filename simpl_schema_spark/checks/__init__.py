@@ -1,0 +1,16 @@
+from .stats import column_profile, observe_validation_stats  # noqa: F401
+from .uniqueness import (  # noqa: F401
+    dedup_keep_first,
+    duplicate_keys,
+    duplicate_violations,
+)
+from .referential import (  # noqa: F401
+    referential_violation_rows,
+    referential_violations,
+)
+from .drift import (  # noqa: F401
+    categorical_counts,
+    categorical_drift,
+    numeric_drift_ks,
+    numeric_quantile_profile,
+)

@@ -1,0 +1,143 @@
+"""Distribution-drift checks vs a baseline profile (north rule: "KS /
+chi-squared distribution-drift checks against a baseline profile table").
+
+Both checks reduce the big table to a tiny aggregate (category counts /
+quantile sketch) FIRST, then compute the statistic on the tiny side — the
+100 TB table is touched by exactly one aggregation each.
+
+- categorical: Pearson chi-squared over per-category proportions, computed
+  relationally from two count tables joined on category.
+- numeric: two-sample Kolmogorov–Smirnov statistic approximated from
+  ``approx_percentile`` sketches (D = max ECDF gap over the merged quantile
+  grid). Exact KS needs a full sort; the sketch version is the standard
+  scale-out approximation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "categorical_counts",
+    "categorical_drift",
+    "numeric_quantile_profile",
+    "numeric_drift_ks",
+]
+
+
+def categorical_counts(df: DataFrame, col: str) -> DataFrame:
+    """Category → count (the baseline-profile row for a categorical column)."""
+    return df.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def categorical_drift(
+    current: DataFrame,
+    baseline_counts: DataFrame,
+    col: str,
+    *,
+    broadcast_baseline: bool = True,
+) -> DataFrame:
+    """Chi-squared statistic of ``current[col]`` vs baseline category counts.
+
+    Returns one row: ``(statistic, dof, n_current, drifted_categories)`` where
+    statistic = Σ (obs − exp)² / exp with expected counts scaled from baseline
+    proportions. Categories absent from the baseline get expected 0.5 (Haldane
+    correction) so novel categories register as drift instead of dividing by
+    zero.
+    """
+    cur = categorical_counts(current, col).alias("cur")
+    base = baseline_counts.alias("base")
+    if broadcast_baseline:
+        base = F.broadcast(base)
+    joined = cur.join(base, on="category", how="full_outer").select(
+        F.col("category"),
+        F.coalesce(F.col("cur.cnt"), F.lit(0)).alias("obs"),
+        F.coalesce(F.col("base.cnt"), F.lit(0)).alias("base_cnt"),
+    )
+    totals = joined.agg(
+        F.sum("obs").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    per_cat = j.select(
+        "category",
+        "obs",
+        F.when(
+            F.col("base_cnt") > 0,
+            F.col("base_cnt") / F.col("n_base") * F.col("n_cur"),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("expected"),
+    )
+    return per_cat.agg(
+        F.sum(
+            (F.col("obs") - F.col("expected")) ** 2 / F.col("expected")
+        ).alias("statistic"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.sum("obs").alias("n_current"),
+    )
+
+
+def numeric_quantile_profile(
+    df: DataFrame, col: str, *, n_quantiles: int = 101
+) -> DataFrame:
+    """Quantile sketch of a numeric column → baseline-profile row.
+
+    ``(quantile double, value double)`` rows, quantiles on a uniform grid.
+    """
+    probs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    qs = df.agg(
+        F.percentile_approx(
+            F.col(col).cast("double"), F.lit(probs), F.lit(10000)
+        ).alias("qs")
+    )
+    return qs.select(
+        F.posexplode("qs").alias("idx", "value")
+    ).select(
+        (F.col("idx") / (n_quantiles - 1)).alias("quantile"),
+        F.col("value"),
+    )
+
+
+def numeric_drift_ks(
+    current: DataFrame,
+    baseline_profile: DataFrame,
+    col: str,
+    *,
+    n_quantiles: int = 101,
+) -> DataFrame:
+    """Approximate two-sample KS statistic: D = max |ECDF_cur − ECDF_base|
+    evaluated on the merged quantile grids. One row ``(ks_statistic)``."""
+    cur = numeric_quantile_profile(current, col, n_quantiles=n_quantiles).alias("cur")
+    base = baseline_profile.alias("base")
+
+    # grid of candidate x values = union of both profiles' values
+    grid = (
+        cur.select(F.col("value"))
+        .union(base.select(F.col("value")))
+        .distinct()
+        .alias("grid")
+    )
+
+    def ecdf(profile: DataFrame, side: str) -> DataFrame:
+        # ECDF(x) = max quantile whose value <= x (profiles are tiny: ≤ ~200
+        # rows, so these joins are broadcast by AQE automatically)
+        return (
+            grid.join(
+                F.broadcast(profile),
+                F.col(f"{side}.value") <= F.col("grid.value"),
+                "left",
+            )
+            .groupBy(F.col("grid.value").alias("x"))
+            .agg(F.coalesce(F.max(f"{side}.quantile"), F.lit(0.0)).alias(f"F_{side}"))
+        )
+    e_cur = ecdf(cur, "cur")
+    e_base = ecdf(base, "base")
+    return (
+        e_cur.join(e_base, on=e_cur["x"] == e_base["x"])
+        .select(F.abs(F.col("F_cur") - F.col("F_base")).alias("gap"))
+        .agg(F.max("gap").alias("ks_statistic"))
+    )

@@ -1,0 +1,145 @@
+"""Distributed checks (SURVEY §2.6) against pandas/duckdb-style oracles on
+driver testdata."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simpl_schema_spark.checks import (
+    categorical_counts,
+    categorical_drift,
+    column_profile,
+    dedup_keep_first,
+    duplicate_keys,
+    numeric_drift_ks,
+    numeric_quantile_profile,
+    observe_validation_stats,
+    referential_violations,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+class TestColumnProfile:
+    def test_profile_matches_duckdb(self, spark, docs):
+        import duckdb
+
+        prof = {r.column: r for r in column_profile(docs).collect()}
+        want = duckdb.sql(
+            f"""
+            select count(*) n, sum(case when lang is null then 1 else 0 end) n_nulls,
+                   min(n_chars) mn, max(n_chars) mx
+            from '{SF_DIR}/documents.parquet'
+            """
+        ).fetchone()
+        assert prof["lang"].n_rows == want[0]
+        assert prof["lang"].null_count == (want[1] or 0)
+        assert prof["n_chars"].min_value == str(want[2])
+        assert prof["n_chars"].max_value == str(want[3])
+
+    def test_distinct_approx_close(self, spark, docs):
+        prof = {r.column: r for r in column_profile(docs).collect()}
+        exact = docs.select("doc_id").distinct().count()
+        approx = prof["doc_id"].distinct_approx
+        assert abs(approx - exact) / exact < 0.1
+
+    def test_observe_piggybacks(self, spark, docs):
+        df, obs = observe_validation_stats(docs, ["lang"], violations_col=None)
+        n = df.count()
+        assert obs.get["n_rows"] == n
+        assert obs.get["lang__nulls"] == docs.where(F.col("lang").isNull()).count()
+
+
+class TestUniqueness:
+    def test_duplicate_keys(self, spark):
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("a",), ("c",), ("a",)], "k string"
+        )
+        dups = duplicate_keys(df, ["k"]).collect()
+        assert [(r.k, r.dup_count) for r in dups] == [("a", 3)]
+
+    def test_salted_matches_unsalted(self, spark):
+        df = spark.createDataFrame(
+            [(str(i % 7),) for i in range(100)], "k string"
+        )
+        plain = {(r.k, r.dup_count) for r in duplicate_keys(df, ["k"]).collect()}
+        salted = {
+            (r.k, r.dup_count)
+            for r in duplicate_keys(df, ["k"], salt_buckets=8).collect()
+        }
+        assert plain == salted
+
+    def test_dedup_keep_first(self, spark):
+        df = spark.createDataFrame(
+            [("a", 3, "x3"), ("a", 1, "x1"), ("b", 2, "y2")],
+            "k string, ts int, payload string",
+        )
+        out = {r.k: r.payload for r in dedup_keep_first(df, ["k"], "ts").collect()}
+        assert out == {"a": "x1", "b": "y2"}
+
+
+class TestReferential:
+    def test_anti_join(self, spark):
+        fact = spark.createDataFrame(
+            [("u1", "en"), ("u2", "xx"), ("u3", None)], "url string, lang string"
+        )
+        dim = spark.createDataFrame([("en",), ("de",)], "lang string")
+        bad = referential_violations(fact, dim, "lang").collect()
+        assert [r.url for r in bad] == ["u2"]  # nulls are not violations
+
+    def test_tpch_lineitem_orders_clean(self, spark):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        assert (
+            referential_violations(li, orders, "l_orderkey", "o_orderkey").count()
+            == 0
+        )
+
+    def test_broadcast_in_plan(self, spark):
+        fact = spark.createDataFrame([("u1", "en")], "url string, lang string")
+        dim = spark.createDataFrame([("en",)], "lang string")
+        plan = referential_violations(fact, dim, "lang")._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+
+
+class TestDrift:
+    def test_no_drift_against_self(self, spark, docs):
+        base = categorical_counts(docs, "lang")
+        stat = categorical_drift(docs, base, "lang").collect()[0]
+        assert stat.statistic == pytest.approx(0.0, abs=1e-9)
+
+    def test_categorical_drift_detects_shift(self, spark, docs):
+        base = categorical_counts(docs, "lang")
+        shifted = docs.where(F.col("lang") == "en")
+        stat = categorical_drift(shifted, base, "lang").collect()[0]
+        assert stat.statistic > 10
+
+    def test_chi2_matches_manual(self, spark):
+        cur = spark.createDataFrame(
+            [("a",)] * 30 + [("b",)] * 70, "c string"
+        )
+        base = spark.createDataFrame(
+            [("a", 50), ("b", 50)], "category string, cnt bigint"
+        )
+        stat = categorical_drift(cur, base, "c").collect()[0]
+        # expected 50/50 → (30-50)^2/50 + (70-50)^2/50 = 16
+        assert stat.statistic == pytest.approx(16.0, rel=1e-6)
+        assert stat.dof == 1
+
+    def test_ks_zero_against_self(self, spark, docs):
+        base = numeric_quantile_profile(docs, "n_chars")
+        ks = numeric_drift_ks(docs, base, "n_chars").collect()[0]
+        assert ks.ks_statistic == pytest.approx(0.0, abs=0.02)
+
+    def test_ks_detects_shift(self, spark, docs):
+        base = numeric_quantile_profile(docs, "n_chars")
+        shifted = docs.select((F.col("n_chars") * 3).alias("n_chars"))
+        ks = numeric_drift_ks(shifted, base, "n_chars").collect()[0]
+        assert ks.ks_statistic > 0.5
