@@ -1,0 +1,9 @@
+from .exact import dedup_exact, exact_duplicate_groups, with_fingerprint  # noqa: F401
+from .minhash import (  # noqa: F401
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signature,
+    shingles,
+)
+from .ngram import jaccard, ngram_jaccard_pairs  # noqa: F401
+from .simhash import hamming_distance, simhash, simhash_near_duplicates  # noqa: F401

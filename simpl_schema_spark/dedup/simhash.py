@@ -1,0 +1,114 @@
+"""SimHash near-duplicate detection, expression-only.
+
+64-bit SimHash: each token hashes to 64 bits; bit b of the fingerprint is 1
+iff Σ_tokens (±1 per token's bit b) > 0.  Near-dups = fingerprints within a
+small Hamming distance.
+
+Candidate generation uses the Charikar rotation trick adapted to banding:
+split the 64 bits into ``bands`` chunks; docs within Hamming distance d < bands
+must agree on ≥1 chunk → one shuffle on (chunk_idx, chunk_value).
+
+Everything is Spark expressions (shiftright/bitwise ops inside transform /
+aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..text.analysis import normalized_text, word_tokens
+
+__all__ = ["simhash", "hamming_distance", "simhash_near_duplicates"]
+
+_BITS = 64
+
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash of whitespace tokens of normalized text (bigint)."""
+    hashes = F.transform(word_tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def bit(b: int) -> Column:
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        # Σ±1 > 0  ⇔  ones > n/2  (strict, ties → 0 bit)
+        return F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    acc = F.lit(0).cast("long")
+    for b in range(_BITS):
+        acc = acc.bitwiseOR(F.shiftleft(bit(b), b))
+    return F.when(n > 0, acc)
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (JVM intrinsic)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, hamming)`` with hamming ≤ max_hamming.
+
+    With bands=4, any pair within Hamming distance 3 shares at least one
+    16-bit chunk (pigeonhole), so recall is exact for max_hamming < bands.
+    """
+    chunk_bits = _BITS // bands
+    mask = (1 << chunk_bits) - 1
+    sigs = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("sh"), c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for c in range(bands)
+        ]
+    )
+    exploded = sigs.select("id", "sh", F.explode(chunks).alias("c")).select(
+        "id", "sh", "c.chunk_idx", "c.chunk_val"
+    )
+    buckets = (
+        exploded.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
+        .where((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("members"),
+                            lambda b: F.when(
+                                a.getField("id") < b.getField("id"),
+                                F.struct(
+                                    a.getField("id").alias("id_a"),
+                                    b.getField("id").alias("id_b"),
+                                    hamming_distance(
+                                        a.getField("sh"), b.getField("sh")
+                                    ).alias("hamming"),
+                                ),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()

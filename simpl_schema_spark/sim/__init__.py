@@ -1,0 +1,8 @@
+from .ann import (  # noqa: F401
+    cosine,
+    cosine_topk_bruteforce,
+    dot,
+    embedding_near_duplicates,
+    l2_norm,
+    random_hyperplane_signature,
+)

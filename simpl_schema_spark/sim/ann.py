@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths per the driver brief:
+
+- :func:`cosine_topk_bruteforce` — exact baseline: broadcast the (small)
+  query set, one pass over the corpus, per-query top-k via window-free
+  aggregation (min-heap shaped ``slice(sort_array(...))`` per query after a
+  groupBy). Corpus is scanned once; no corpus-side shuffle of vectors, only
+  of (query_id, score, id) triples, which are tiny.
+- :func:`lsh_topk` / :func:`embedding_near_duplicates` — scale path: random
+  hyperplane LSH (sign bits of dot products with fixed seeded pseudo-random
+  planes) buckets vectors so only same-bucket pairs are scored. Hyperplanes
+  are generated deterministically from a seed — reproducible across runs and
+  executors.
+
+All dot products are ``F.zip_with`` + ``F.aggregate`` JVM expressions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk_bruteforce",
+    "random_hyperplane_signature",
+    "embedding_near_duplicates",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: ``(query_id, neighbor_id, score, rank)``.
+
+    The query side is broadcast (must be small — thousands, not millions);
+    the corpus is scanned exactly once with no shuffle of the vectors.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q), how="cross").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    # per-query top-k as an aggregation (combiner-friendly, no global sort):
+    # collect (score, id) structs, keep the k largest per group
+    topk = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("score"), F.col("neighbor_id"))),
+                    asc=False,
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("rank0", "t"))
+        .select(
+            "query_id",
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            F.col("t.score").alias("score"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )
+    return topk
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side, tiny)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def random_hyperplane_signature(
+    vec: Column, dim: int, *, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """n_planes sign bits packed into a bigint (cosine-LSH signature)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    acc = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, plane_col) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(F.shiftleft(bit, b))
+    return acc
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(id_a, id_b, cosine)`` ≥ threshold.
+
+    Cosine-LSH bucketing: vectors agreeing on one band of sign bits are
+    candidates; exact cosine verifies. High-cosine pairs agree on most sign
+    bits, so banding retains them with high probability.
+    """
+    chunk = n_planes // bands
+    mask = (1 << chunk) - 1
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        random_hyperplane_signature(
+            F.col(vec_col), dim, n_planes=n_planes, seed=seed
+        ).alias("sig"),
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("sig"), c * chunk).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+            )
+            for c in range(bands)
+        ]
+    )
+    exploded = sigs.select("id", "vec", F.explode(chunks).alias("c")).select(
+        "id", "vec", "c.chunk_idx", "c.chunk_val"
+    )
+    buckets = (
+        exploded.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("members"))
+        .where((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a: F.filter(
+                            F.transform(
+                                F.col("members"),
+                                lambda b: F.when(
+                                    a.getField("id") < b.getField("id"),
+                                    F.struct(
+                                        a.getField("id").alias("id_a"),
+                                        b.getField("id").alias("id_b"),
+                                        cosine(
+                                            a.getField("vec"), b.getField("vec")
+                                        ).alias("cosine"),
+                                    ),
+                                ),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+    return pairs

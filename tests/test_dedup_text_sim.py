@@ -1,0 +1,253 @@
+"""Training-data pipeline operators: dedup family, text analysis, ANN."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simpl_schema_spark.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from simpl_schema_spark.sim import (
+    cosine,
+    cosine_topk_bruteforce,
+    embedding_near_duplicates,
+)
+from simpl_schema_spark.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from simpl_schema_spark.multimodal import (
+    decode_image_features,
+    sample_video_frames,
+    with_media_meta,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and it is a fine day "
+    "for running in the park with friends"
+)
+DOC_NEAR = DOC.replace("fine day", "great day")
+DOC_OTHER = "completely different content about database query engines and columnar execution"
+
+
+@pytest.fixture(scope="module")
+def docs3(spark):
+    return spark.createDataFrame(
+        [
+            (1, DOC),
+            (2, DOC),          # exact dup of 1
+            (3, DOC_NEAR),     # near dup of 1
+            (4, DOC_OTHER),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs3):
+        groups = exact_duplicate_groups(docs3).collect()
+        assert len(groups) == 1
+        assert groups[0].doc_ids == [1, 2]
+
+    def test_normalization_catches_case_and_punct(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO  world.")],
+            "doc_id bigint, text string",
+        )
+        groups = exact_duplicate_groups(df).collect()
+        assert len(groups) == 1 and groups[0].doc_ids == [1, 2, 3]
+
+    def test_dedup_keeps_lowest_id_and_nulls(self, spark, docs3):
+        kept = sorted(r.doc_id for r in dedup_exact(docs3).collect())
+        assert kept == [1, 3, 4, 5]
+
+
+class TestMinHash:
+    def test_near_dups_found(self, spark, docs3):
+        pairs = minhash_near_duplicates(docs3, threshold=0.5).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 3) in got and (2, 3) in got and (1, 2) in got
+        assert not any(4 in p for p in got)
+
+    def test_exact_dup_estimate_is_one(self, spark, docs3):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard_est
+            for r in minhash_near_duplicates(docs3, threshold=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+
+
+class TestSimHash:
+    def test_identical_same_hash(self, spark, docs3):
+        rows = docs3.where(F.col("text").isNotNull()).select(
+            "doc_id", simhash(F.col("text")).alias("sh")
+        ).collect()
+        by_id = {r.doc_id: r.sh for r in rows}
+        assert by_id[1] == by_id[2]
+        assert by_id[1] != by_id[4]
+
+    def test_near_dup_pairs(self, spark, docs3):
+        pairs = simhash_near_duplicates(docs3, max_hamming=6).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in got
+        assert not any(4 in p or 5 in p for p in got)
+
+
+class TestNgramJaccard:
+    def test_pairs(self, spark, docs3):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs3, threshold=0.4).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+
+class TestTextAnalysis:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame(
+            [("a b  c",), ("",), ("   ",), (None,)], "t string"
+        )
+        out = df.select(token_count(F.col("t")).alias("n")).collect()
+        assert [r.n for r in out] == [3, 0, 0, None]
+
+    def test_bpe_ish_counts_more_than_words(self, spark):
+        df = spark.createDataFrame([("don't stop, it's 2024!",)], "t string")
+        r = df.select(
+            token_count(F.col("t")).alias("w"),
+            bpe_ish_token_count(F.col("t")).alias("b"),
+        ).collect()[0]
+        assert r.b > r.w
+
+    def test_quality_score_ordering(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("good", DOC * 3),
+                ("junk", "@@@@ ###### !!!! $$$$$ %%%%"),
+                ("short", "hi"),
+            ],
+            "k string, t string",
+        )
+        scores = {r.k: r.q for r in df.select("k", quality_score(F.col("t")).alias("q")).collect()}
+        assert scores["good"] > scores["junk"]
+        assert scores["good"] > scores["short"]
+        assert all(0.0 <= s <= 1.0 for s in scores.values())
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("en", "the cat and the dog went to the park and it is fine"),
+                ("de", "der hund und die katze sind nicht zu hause mit der maus"),
+                ("fr", "le chat et le chien sont dans la maison et il est pas la"),
+                ("es", "el perro y el gato no es una casa de los amigos"),
+                ("zh", "数据库查询引擎的列式执行非常快速高效"),
+                ("und", "zzz qqq xxx"),
+            ],
+            "expected string, t string",
+        )
+        rows = df.select("expected", lang_id(F.col("t")).alias("got")).collect()
+        for r in rows:
+            assert r.got == r.expected, f"{r.expected}: got {r.got}"
+
+    def test_fingerprint_stable(self, spark):
+        df = spark.createDataFrame([("Hello, World!",), ("hello world",)], "t string")
+        fps = [r.fp for r in df.select(fingerprint(F.col("t")).alias("fp")).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def embeddings(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+    def test_bruteforce_topk_self_query(self, spark, embeddings):
+        queries = embeddings.limit(3)
+        out = cosine_topk_bruteforce(
+            embeddings, queries, k=5, exclude_self=False
+        )
+        rows = out.where(F.col("rank") == 1).collect()
+        # rank-1 neighbor of a vector (self included) is itself with score ~1
+        for r in rows:
+            assert r.query_id == r.neighbor_id
+            assert r.score == pytest.approx(1.0, abs=1e-5)
+
+    def test_topk_matches_duckdb_oracle(self, spark, embeddings):
+        import duckdb
+
+        out = cosine_topk_bruteforce(
+            embeddings, embeddings.where(F.col("vec_id") == 0), k=3
+        ).collect()
+        got = [(r.neighbor_id, round(r.score, 6)) for r in sorted(out, key=lambda r: r.rank)]
+        want = duckdb.sql(
+            f"""
+            with q as (select embedding from '{SF_DIR}/embeddings.parquet' where vec_id = 0)
+            select vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 6) s
+            from '{SF_DIR}/embeddings.parquet' e, q
+            where e.vec_id != 0
+            order by s desc, vec_id limit 3
+            """
+        ).fetchall()
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-5)
+
+    def test_lsh_near_dups_find_duplicated_vectors(self, spark, embeddings):
+        dim = len(embeddings.first().embedding)
+        dup = embeddings.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+        with_dups = embeddings.unionByName(dup)
+        pairs = embedding_near_duplicates(
+            with_dups, dim=dim, threshold=0.999
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        for i in range(5):
+            assert (i, i + 100000) in got
+
+
+class TestMultimodal:
+    def test_media_meta_sniffing(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(b"\x89PNG\r\n\x1a\n" + b"x" * 10)),
+                (2, bytearray(b"\xff\xd8\xff\xe0" + b"y" * 10)),
+                (3, bytearray(b"\x1aE\xdf\xa3" + b"z" * 10)),
+            ],
+            "id bigint, payload binary",
+        )
+        out = {r.id: r.media_meta for r in with_media_meta(df).collect()}
+        assert out[1].magic == "png" and out[1].media_type == "image"
+        assert out[2].magic == "jpeg"
+        assert out[3].magic == "webm" and out[3].media_type == "video"
+        assert out[1].byte_size == 18
+
+    def test_image_feature_stub_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG" + b"a" * 100)), (2, bytearray(b"\xff\xd8\xff" + b"b" * 50))],
+            "id bigint, payload binary",
+        )
+        out = decode_image_features(df, embedding_dim=4).collect()
+        assert len(out) == 2
+        for r in out:
+            assert len(r.embedding) == 4
+        # deterministic
+        again = decode_image_features(df, embedding_dim=4).collect()
+        assert sorted(map(str, out)) == sorted(map(str, again))
+
+    def test_frame_sampling_stub(self, spark):
+        df = spark.createDataFrame(
+            [(7, bytearray(b"\x00\x00\x00\x18ftyp" + b"v" * 30))],
+            "id bigint, payload binary",
+        )
+        out = sample_video_frames(df, n_frames=3).collect()
+        assert [(r.id, r.frame_idx) for r in out] == [(7, 0), (7, 1), (7, 2)]
