@@ -1,38 +1,481 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation query on sf0.001;
+``queries()``/``oracle_sql()`` pair each implemented operator from
+SURVEY.md §2 (+ the training-data operators) with an ANSI-SQL oracle DuckDB
+runs on the same parquet tables.  Non-SQL-expressible operators (seeded
+minhash/simhash/LSH) have queries() entries without oracles → rows-only
+checks.
 """
 
 from __future__ import annotations
 
+import datetime
+import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+UTC = datetime.timezone.utc
+
+# validation rules for the driver-provided documents table
+# (doc_id bigint, text string, lang string, source string, n_chars bigint);
+# thresholds chosen so each rule actually fires on the clean synthetic data
+_ALLOWED_LANGS = ["en", "de", "fr", "es"]           # 'zh' rows → notAllowed
+_SOURCE_RE = r"^src[0-9]$"                           # src10..19 → regEx
+_TEXT_MIN = 100                                      # short docs → minString
+_NCHARS_MAX = 400                                    # long docs → maxNumber
+
+
+def _doc_schema():
+    from simpl_schema_spark.schema import SimpleSchema
+
+    return SimpleSchema(
+        {
+            "doc_id": {"type": int, "min": 0},
+            "text": {"type": str, "min": _TEXT_MIN},
+            "lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
+            "source": {"type": str, "regEx": re.compile(_SOURCE_RE)},
+            "n_chars": {"type": int, "min": 0, "max": _NCHARS_MAX},
+        }
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of doc_id<20 shifted by +10000 — deterministic
+    duplicate injection so dedup queries have non-trivial output."""
+    d = _docs(spark, sf_dir)
+    dup = d.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return d.unionByName(dup)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full constraint suite → violations table (V1-V7, V12/V14)."""
+    from simpl_schema_spark.validate import violations_table
+
+    return violations_table(
+        _docs(spark, sf_dir), _doc_schema(), id_cols=["doc_id"]
+    ).select("doc_id", "name", "type", "value")
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats profile (§2.6) — null counts, min/max."""
+    from simpl_schema_spark.checks import column_profile
+
+    return column_profile(_docs(spark, sf_dir)).select(
+        "column", "n_rows", "null_count", "min_value", "max_value"
+    )
+
+
+def q_duplicate_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness check (§2.6): keys with >1 row, salted two-stage agg."""
+    from simpl_schema_spark.checks import duplicate_keys
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return duplicate_keys(li, ["l_orderkey"], salt_buckets=8).select(
+        "l_orderkey", "dup_count"
+    )
+
+
+def q_referential_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity (§2.6): events.user_id → customer subset."""
+    from simpl_schema_spark.checks import referential_violations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") < 100)
+        .select("c_custkey")
+    )
+    bad = referential_violations(ev, dim, "user_id", "c_custkey")
+    return bad.select("event_id", "user_id")
+
+
+def q_lang_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared categorical drift (§2.6): src0 slice vs full corpus."""
+    from simpl_schema_spark.checks import categorical_counts, categorical_drift
+
+    d = _docs(spark, sf_dir)
+    base = categorical_counts(d, "lang")
+    cur = d.where(F.col("source") == "src0")
+    return categorical_drift(cur, base, "lang").select(
+        F.round("statistic", 4).alias("statistic"),
+        "dof",
+        "n_current",
+    )
+
+
+def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift (§2.6): src0 slice vs full corpus."""
+    from simpl_schema_spark.checks import numeric_drift_ks_exact
+
+    d = _docs(spark, sf_dir)
+    cur = d.where(F.col("source") == "src0")
+    return numeric_drift_ks_exact(cur, d, "n_chars").select(
+        F.round("ks_statistic", 6).alias("ks_statistic")
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-content hash groups."""
+    d = _docs_with_dups(spark, sf_dir)
+    from simpl_schema_spark.text.analysis import normalized_text
+
+    keyed = d.where(F.col("text").isNotNull()).select(
+        F.col("doc_id"), F.md5(normalized_text(F.col("text"))).alias("fp")
+    )
+    return (
+        keyed.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token counting."""
+    from simpl_schema_spark.text import token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: quality-score integer components (exact-matchable)."""
+    from simpl_schema_spark.text.analysis import word_tokens, _LANG_STOPWORDS
+
+    d = _docs(spark, sf_dir)
+    toks = word_tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.length(F.regexp_replace(F.col("text"), "[^\\p{L} ]", ""))
+        .cast("long")
+        .alias("alpha_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: exact cosine top-3 for the first 5 vectors."""
+    from simpl_schema_spark.sim import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean() pipeline (C1-C4) over dirtied documents: trim + empty-string
+    removal + autoConvert stay byte-faithful."""
+    from simpl_schema_spark.clean import clean
+    from simpl_schema_spark.schema import SimpleSchema
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        # deterministic dirt: pad every 7th doc's text, blank every 13th lang
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("  "), F.col("text"), F.lit("\t")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("")).otherwise(F.col("lang")).alias("lang"),
+    )
+    ss = SimpleSchema(
+        {
+            "doc_id": {"type": int, "optional": True},
+            "text": {"type": str, "optional": True},
+            "lang": {"type": str, "optional": True},
+        }
+    )
+    return clean(d, ss).select("doc_id", "text", "lang")
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (seeded hashes — rows-only check)."""
+    from simpl_schema_spark.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (seeded hashes — rows-only check)."""
+    from simpl_schema_spark.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs; exact Jaccard — oracle-checkable on
+    the injected exact dups."""
+    from simpl_schema_spark.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.999, max_shingle_df=50
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (rows-only; scoring is engine-defined)."""
+    from simpl_schema_spark.text import lang_id
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    from simpl_schema_spark.sim import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    dup = emb.where(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(dup), dim=dim, threshold=0.999
+    ).select("id_a", "id_b")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_validate_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_documents": q_validate_documents,
+        "column_stats": q_column_stats,
+        "duplicate_orderkeys": q_duplicate_orderkeys,
+        "referential_events": q_referential_events,
+        "lang_chi2_drift": q_lang_chi2_drift,
+        "ks_drift_nchars": q_ks_drift_nchars,
+        "exact_dup_groups": q_exact_dup_groups,
+        "token_counts": q_token_counts,
+        "quality_components": q_quality_components,
+        "ann_topk": q_ann_topk,
+        "clean_documents": q_clean_documents,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lang_id": q_lang_id,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+_DUP_DOCS_SQL = (
+    "select * from documents union all "
+    "select doc_id + 10000 as doc_id, text, lang, source, n_chars "
+    "from documents where doc_id < 20"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = ", ".join(f"'{l}'" for l in _ALLOWED_LANGS)
+    return {
+        "validate_documents": f"""
+            select doc_id, 'text' as name, 'minString' as type, text as value
+              from documents where length(text) < {_TEXT_MIN}
+            union all
+            select doc_id, 'lang', 'notAllowed', lang
+              from documents where lang not in ({langs})
+            union all
+            select doc_id, 'source', 'regEx', source
+              from documents where not regexp_matches(source, '{_SOURCE_RE}')
+            union all
+            select doc_id, 'n_chars', 'maxNumber', cast(n_chars as varchar)
+              from documents where n_chars > {_NCHARS_MAX}
+        """,
+        "column_stats": """
+            select 'doc_id' as column, count(*) as n_rows,
+                   sum(case when doc_id is null then 1 else 0 end)::bigint as null_count,
+                   cast(min(doc_id) as varchar) as min_value,
+                   cast(max(doc_id) as varchar) as max_value
+              from documents
+            union all
+            select 'text', count(*),
+                   sum(case when text is null then 1 else 0 end)::bigint,
+                   min(text), max(text) from documents
+            union all
+            select 'lang', count(*),
+                   sum(case when lang is null then 1 else 0 end)::bigint,
+                   min(lang), max(lang) from documents
+            union all
+            select 'source', count(*),
+                   sum(case when source is null then 1 else 0 end)::bigint,
+                   min(source), max(source) from documents
+            union all
+            select 'n_chars', count(*),
+                   sum(case when n_chars is null then 1 else 0 end)::bigint,
+                   cast(min(n_chars) as varchar), cast(max(n_chars) as varchar)
+              from documents
+        """,
+        "duplicate_orderkeys": """
+            select l_orderkey, count(*) as dup_count
+              from lineitem group by l_orderkey having count(*) > 1
+        """,
+        "referential_events": """
+            select e.event_id, e.user_id
+              from events e
+             where e.user_id is not null
+               and not exists (
+                   select 1 from customer c
+                    where c.c_custkey < 100 and c.c_custkey = e.user_id)
+        """,
+        "lang_chi2_drift": """
+            with base as (
+                select lang as category, count(*) as cnt from documents group by 1
+            ), cur as (
+                select lang as category, count(*) as obs
+                  from documents where source = 'src0' group by 1
+            ), joined as (
+                select coalesce(b.category, c.category) as category,
+                       coalesce(c.obs, 0) as obs, coalesce(b.cnt, 0) as base_cnt
+                  from base b full outer join cur c using (category)
+            ), tot as (
+                select sum(obs) as n_cur, sum(base_cnt) as n_base from joined
+            ), per as (
+                select obs,
+                       case when base_cnt > 0
+                            then base_cnt / t.n_base * t.n_cur
+                            else 0.5 end as expected
+                  from joined, tot t
+            )
+            select round(sum((obs - expected) * (obs - expected) / expected), 4)
+                     as statistic,
+                   count(*) - 1 as dof,
+                   sum(obs)::bigint as n_current
+              from per
+        """,
+        "ks_drift_nchars": """
+            with cur as (
+                select cast(n_chars as double) x, count(*) c
+                  from documents where source = 'src0' and n_chars is not null
+                 group by 1
+            ), base as (
+                select cast(n_chars as double) x, count(*) c
+                  from documents where n_chars is not null group by 1
+            ), merged as (
+                select coalesce(cur.x, base.x) as x,
+                       coalesce(cur.c, 0) as c_cur, coalesce(base.c, 0) as c_base
+                  from cur full outer join base on cur.x = base.x
+            ), tot as (
+                select sum(c_cur) n_cur, sum(c_base) n_base from merged
+            ), e as (
+                select sum(c_cur) over (order by x) as cum_cur,
+                       sum(c_base) over (order by x) as cum_base
+                  from merged
+            )
+            select round(max(abs(cum_cur * 1.0 / t.n_cur
+                                 - cum_base * 1.0 / t.n_base)), 6)
+                     as ks_statistic
+              from e, tot t
+        """,
+        "exact_dup_groups": f"""
+            with dd as ({_DUP_DOCS_SQL}),
+            keyed as (
+                select doc_id, md5({_NORM_SQL}) as fp
+                  from dd where text is not null
+            )
+            select fp, count(*) as n_docs,
+                   min(doc_id) as min_doc_id, max(doc_id) as max_doc_id
+              from keyed group by fp having count(*) > 1
+        """,
+        "token_counts": """
+            select doc_id,
+                   case when text is null then null
+                        when trim(text) = '' then 0
+                        else length(regexp_split_to_array(trim(text), '\\s+'))
+                   end::bigint as n_tokens
+              from documents
+        """,
+        "quality_components": """
+            with toks as (
+                select doc_id,
+                       length(text)::bigint as n_chars_text,
+                       length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::bigint
+                         as alpha_chars,
+                       case when trim(text) = '' then []
+                            else regexp_split_to_array(trim(text), '\\s+')
+                       end as t
+                  from documents
+            )
+            select doc_id, n_chars_text, alpha_chars,
+                   length(t)::bigint as n_tokens,
+                   len(list_filter(t, x -> list_contains(
+                       ['the','and','of','to','a','in','is','that','it','for'],
+                       lower(x))))::bigint as n_stopwords
+              from toks
+        """,
+        "ann_topk": """
+            with q as (
+                select vec_id as query_id, embedding as q_vec
+                  from embeddings where vec_id < 5
+            ), scored as (
+                select q.query_id, e.vec_id as neighbor_id,
+                       list_cosine_similarity(e.embedding, q.q_vec) as score
+                  from embeddings e, q
+                 where e.vec_id != q.query_id
+            ), ranked as (
+                select query_id, neighbor_id,
+                       row_number() over (partition by query_id
+                                          order by score desc, neighbor_id) as rank
+                  from scored
+            )
+            select query_id, neighbor_id, rank from ranked where rank <= 3
+        """,
+        "clean_documents": """
+            with dirty as (
+                select doc_id,
+                       case when doc_id % 7 = 0
+                            then '  ' || text || chr(9) else text end as text,
+                       case when doc_id % 13 = 0 then '' else lang end as lang
+                  from documents
+            )
+            select doc_id,
+                   nullif(trim(text, ' ' || chr(9) || chr(10) || chr(11)
+                               || chr(12) || chr(13)), '') as text,
+                   nullif(trim(lang, ' ' || chr(9) || chr(10) || chr(11)
+                               || chr(12) || chr(13)), '') as lang
+              from dirty
+        """,
+        "ngram_jaccard_dups": f"""
+            with dd as ({_DUP_DOCS_SQL})
+            select a.doc_id as id_a, b.doc_id as id_b, cast(1.0 as double) as jaccard
+              from dd a join dd b
+                on {_NORM_SQL.replace('text', 'a.text')} =
+                   {_NORM_SQL.replace('text', 'b.text')}
+               and a.doc_id < b.doc_id
+             where a.text is not null and b.text is not null
+        """,
+    }

@@ -1,0 +1,221 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (north-rule evidence, no real cluster in this sandbox):
+``python bench.py --scaling`` runs the IDENTICAL full-constraint-suite
+validation job (clean → validate → stats over generated documents) in two
+fresh JVMs at local[8] and local[32] on identical input, reports docs/sec at
+both and the N→4N scaling efficiency, and rewrites BENCH/BASELINE.md.
+
+``python bench.py --docs-bench N --cores K`` is the single-measurement child
+used by --scaling (also handy standalone).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "validate_documents",
+    "column_stats",
+    "duplicate_orderkeys",
+    "referential_events",
+    "lang_chi2_drift",
+    "ks_drift_nchars",
+    "exact_dup_groups",
+    "token_counts",
+    "quality_components",
+    "ann_topk",
+    "clean_documents",
+    "ngram_jaccard_dups",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "lang_id",
+]
+
+
+def make_spark(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("simpl-schema-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Run the full plan (all columns), return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def run_headline() -> None:
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def run_docs_bench(n_rows: int, cores: int) -> dict:
+    """The full-constraint-suite validation job at one parallelism level."""
+    from pyspark.sql import functions as F
+
+    spark = make_spark(cores, shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    from simpl_schema_spark.datagen import documents_schema, generate_documents
+    from simpl_schema_spark.pipeline import clean_and_validate
+    from simpl_schema_spark.checks.stats import observe_validation_stats
+
+    docs = generate_documents(spark, n_rows, partitions=cores * 4)
+    # warm-up: JVM/codegen (small slice, same plan shape)
+    warm = clean_and_validate(generate_documents(spark, 10_000, partitions=cores), documents_schema())
+    materialize(warm)
+
+    t0 = time.perf_counter()
+    validated = clean_and_validate(docs, documents_schema())
+    observed, obs = observe_validation_stats(validated)
+    materialize(observed)
+    wall = time.perf_counter() - t0
+    metrics = obs.get
+    spark.stop()
+    return {
+        "cores": cores,
+        "rows": n_rows,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_rows / wall, 1),
+        "violations": int(metrics.get("violation_count", -1)),
+        "invalid_rows": int(metrics.get("invalid_rows", -1)),
+    }
+
+
+def run_scaling(n_rows: int) -> None:
+    """Same job, two parallelism levels, fresh JVM each (cold caches)."""
+    results = []
+    for cores in (8, 32):
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--docs-bench",
+                str(n_rows),
+                "--cores",
+                str(cores),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+
+    r8, r32 = results
+    efficiency = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    report = {
+        "metric": "docs/sec validated (full constraint suite)",
+        "rows": n_rows,
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency_8_to_32": round(efficiency, 3),
+    }
+    print(json.dumps(report))
+    _write_baseline_md(report)
+
+
+def _write_baseline_md(report: dict) -> None:
+    r8, r32 = report["local8"], report["local32"]
+    eff = report["scaling_efficiency_8_to_32"]
+    md = f"""# BENCH/BASELINE.md — full-constraint-suite scaling evidence
+
+North rule: throughput scaling efficiency >= 0.8 going from N to 4N
+executors.  No real cluster exists in this sandbox, so the evidence is the
+IDENTICAL job (clean -> validate -> per-column stats over the generated
+documents table, full rule suite from `datagen.documents_schema()`) run at
+two parallelism levels in fresh JVMs on identical input.
+
+| parallelism | input rows | wall sec | docs/sec |
+|---|---|---|---|
+| local[8]  | {r8['rows']:,} | {r8['wall_sec']} | {r8['docs_per_sec']:,} |
+| local[32] | {r32['rows']:,} | {r32['wall_sec']} | {r32['docs_per_sec']:,} |
+
+**Scaling efficiency (8 -> 32 cores) = (docs/sec@32 / docs/sec@8) / 4 =
+{eff}**
+
+Spark confs: AQE on, shuffle.partitions = cores, generator parallelism =
+4x cores, driver-only JVM (local mode), warm-up run excluded from timing.
+The job is a single scan + one projection (no shuffle in the validation
+path; stats ride `df.observe` on the same pass), so scaling is bounded by
+CPU, not exchange — the same property that holds on a real 1000-executor
+cluster reading Iceberg partitions.
+
+Regenerate with: `python bench.py --scaling [--rows N]`.
+"""
+    os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(__file__), "BENCH", "BASELINE.md"), "w"
+    ) as f:
+        f.write(md)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--docs-bench", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    if args.docs_bench:
+        print(json.dumps(run_docs_bench(args.docs_bench, args.cores)))
+    elif args.scaling:
+        run_scaling(args.rows)
+    else:
+        run_headline()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,5 +12,6 @@ from .drift import (  # noqa: F401
     categorical_counts,
     categorical_drift,
     numeric_drift_ks,
+    numeric_drift_ks_exact,
     numeric_quantile_profile,
 )

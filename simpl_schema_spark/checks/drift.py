@@ -24,6 +24,7 @@ __all__ = [
     "categorical_drift",
     "numeric_quantile_profile",
     "numeric_drift_ks",
+    "numeric_drift_ks_exact",
 ]
 
 
@@ -141,3 +142,50 @@ def numeric_drift_ks(
         .select(F.abs(F.col("F_cur") - F.col("F_base")).alias("gap"))
         .agg(F.max("gap").alias("ks_statistic"))
     )
+
+
+def numeric_drift_ks_exact(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+) -> DataFrame:
+    """EXACT two-sample KS statistic, fully relational (no sketches).
+
+    D = max over distinct values x of |ECDF_cur(x) − ECDF_base(x)|, computed
+    from per-value counts + a running-sum window over the merged value grid.
+    One shuffle per side for the count, one ordered window over the (tiny)
+    distinct-value grid.  Right for ≤ ~10^8 distinct values; beyond that use
+    :func:`numeric_drift_ks` (sketch-based).
+
+    Returns one row ``(ks_statistic double)`` — deterministic, so it is
+    oracle-checkable against an exact SQL implementation.
+    """
+    from pyspark.sql import Window
+
+    def counts(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("double").alias("x"))
+            .agg(F.count(F.lit(1)).alias(f"c_{label}"))
+        )
+
+    cur = counts(current, "cur")
+    base = counts(baseline, "base")
+    merged = cur.join(base, on="x", how="full_outer").select(
+        "x",
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        F.coalesce("c_base", F.lit(0)).alias("c_base"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = merged.agg(
+        F.sum("c_cur").alias("n_cur"), F.sum("c_base").alias("n_base")
+    )
+    ecdf = merged.select(
+        (F.sum("c_cur").over(w)).alias("cum_cur"),
+        (F.sum("c_base").over(w)).alias("cum_base"),
+    ).crossJoin(F.broadcast(totals))
+    return ecdf.select(
+        F.abs(
+            F.col("cum_cur") / F.col("n_cur") - F.col("cum_base") / F.col("n_base")
+        ).alias("gap")
+    ).agg(F.max("gap").alias("ks_statistic"))
