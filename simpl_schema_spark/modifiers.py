@@ -1,0 +1,573 @@
+"""MongoDB-style update-modifier validation over a long-format table.
+
+The reference's distinguishing feature (README:13,173-193): a modifier
+document is validated so the stored document AFTER applying it would be
+valid.  Dispatch table: ``/root/reference/src/doValidation.ts:40-86``;
+required decision table: ``src/validation/requiredValidator.ts:13-61``;
+``$inc`` bounds exemption: ``src/validation/typeValidator/checkNumberValue.ts:20,36``;
+``$push``/``$addToSet`` item validation incl. ``$each``:
+``doValidation.ts:52-58``; ``$currentDate`` forms:
+``typeValidator/index.ts:40-44,57-59``; removal ops skipped:
+``doValidation.ts:9-12``.
+
+Relational encoding (FIXTURES.md F6): one row per (document, operator, key)::
+
+    (doc_id string/bigint, op string, key_path string, value string, upsert boolean)
+
+``value`` is JSON; dates use extended-JSON ``{"$date": "ISO-8601"}``.
+
+Execution shape: ONE projection over the long table (all per-row rules are a
+CASE WHEN forest over the generic key, exactly like the document validator)
+plus ONE small aggregation per upsert-required injection (collect the set of
+"keys with values" per document and anti-join the compile-time required-key
+list — the relational form of getKeysWithValueInObj,
+``src/utility/index.ts:46-64``).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import reduce
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .compiler.compile import violation, _null_violation
+from .compiler.regex import js_regex_repr, to_java_regex
+from .errors import ErrorTypes, VIOLATION_SCHEMA
+from .schema.schema import SimpleSchema
+from .schema.types import (
+    AnyType,
+    ArrayType,
+    Binary,
+    Boolean,
+    DateType,
+    Integer,
+    Number,
+    ObjectType,
+    String,
+    TypeToken,
+)
+
+__all__ = ["validate_modifier_table", "UnsupportedModifierError"]
+
+#: value never checked / cleaned for these (doValidation.ts:9-12)
+OPS_SKIPPED = ("$pull", "$pullAll", "$pop", "$slice")
+OPS_SET = ("$set", "$setOnInsert")
+OPS_PUSH = ("$push", "$addToSet")
+KNOWN_OPS = OPS_SKIPPED + OPS_SET + OPS_PUSH + (
+    "$unset", "$rename", "$inc", "$currentDate", "$min", "$max", "$mul",
+)
+
+
+class UnsupportedModifierError(Exception):
+    """$pushAll (doValidation.ts:10) and non-$ keys (ts:44-46)."""
+
+
+def _generic_key(key_path: Column) -> Column:
+    """a.0.b → a.$.b (mongo-object makeKeyGeneric parity)."""
+    return F.regexp_replace(key_path, r"(?<=^|\.)\d+(?=\.|$)", "\\$")
+
+
+# ---------------------------------------------------------------- JSON typing
+
+def _is_json_string(v: Column) -> Column:
+    return v.rlike('^\\s*"')
+
+
+def _is_json_null(v: Column) -> Column:
+    return v.rlike("^\\s*null\\s*$")
+
+
+def _is_json_bool(v: Column) -> Column:
+    return v.rlike("^\\s*(true|false)\\s*$")
+
+
+def _is_json_number(v: Column) -> Column:
+    return v.rlike(r"^\s*-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$")
+
+
+def _is_json_array(v: Column) -> Column:
+    return v.rlike(r"^\s*\[")
+
+
+def _is_json_object(v: Column) -> Column:
+    return v.rlike(r"^\s*\{")
+
+
+def _is_ext_date(v: Column) -> Column:
+    return v.rlike(r'^\s*\{\s*"\$date"')
+
+
+def _json_str(v: Column) -> Column:
+    return F.from_json(F.concat(F.lit('{"v":'), v, F.lit("}")), "v string").getField("v")
+
+
+def _json_num(v: Column) -> Column:
+    return F.from_json(F.concat(F.lit('{"v":'), v, F.lit("}")), "v double").getField("v")
+
+
+def _json_date(v: Column) -> Column:
+    iso = F.from_json(v, "`$date` string").getField("$date")
+    return F.coalesce(
+        iso.try_cast("timestamp"),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+
+
+def _display(v: Column) -> Column:
+    """Offending-value payload: unquote JSON strings, else raw JSON."""
+    return F.when(_is_json_string(v), _json_str(v)).otherwise(F.trim(v))
+
+
+class _ModifierCompiler:
+    """Compile per-(key, op-class) value rules into one CASE forest."""
+
+    def __init__(self, schema: SimpleSchema) -> None:
+        self.schema = schema
+        self.merged = schema.merged_schema()
+
+    # ---------------------------------------------------------- per-key rules
+
+    def _alternatives(self, generic: str) -> list[dict]:
+        d = self.merged[generic]
+        outer = {k: v for k, v in d.items() if k != "type"}
+        return [{**outer, **alt} for alt in d["type"].definitions]
+
+    def value_error(
+        self,
+        generic: str,
+        v: Column,
+        name: Column,
+        op: Column,
+        *,
+        as_item: bool = False,
+    ) -> Optional[Column]:
+        """First violation for a JSON value checked against key ``generic``
+        (item definition when as_item)."""
+        key = f"{generic}.$" if as_item and f"{generic}.$" in self.merged else generic
+        if key not in self.merged:
+            return None
+        alts = self._alternatives(key)
+        if any(a.get("type") is AnyType for a in alts):
+            return None
+        errs = [self._alt_error(a, v, name, op) for a in alts]
+        errs = [e for e in errs if e is not None]
+        if not errs:
+            return None
+        if len(errs) == 1:
+            return errs[0]
+        any_ok = reduce(lambda a, b: a | b, [e.isNull() for e in errs])
+        return F.when(any_ok, _null_violation()).otherwise(errs[-1])
+
+    def _alt_error(self, alt: dict, v: Column, name: Column, op: Column) -> Optional[Column]:
+        token = alt.get("type")
+        if isinstance(token, SimpleSchema):
+            token = ObjectType
+        if not isinstance(token, TypeToken):
+            return None
+        chain: list[Column] = []
+
+        type_err = self._type_error(token, alt, v, name, op)
+        if type_err is not None:
+            chain.append(type_err)
+
+        allowed = alt.get("allowedValues")
+        if allowed is not None:
+            vals = sorted(allowed) if isinstance(allowed, set) else list(allowed)
+            typed = _json_str(v) if isinstance(vals[0], str) else _json_num(v)
+            chain.append(
+                F.when(
+                    ~typed.isin(*vals),
+                    violation(name, ErrorTypes.VALUE_NOT_ALLOWED, value=_display(v)),
+                ).otherwise(_null_violation())
+            )
+        if not chain:
+            return None
+        return chain[0] if len(chain) == 1 else F.coalesce(*chain)
+
+    def _type_error(
+        self, token: TypeToken, alt: dict, v: Column, name: Column, op: Column
+    ) -> Optional[Column]:
+        if token is String:
+            s = _json_str(v)
+            conds = [
+                F.when(
+                    ~_is_json_string(v),
+                    violation(name, ErrorTypes.EXPECTED_TYPE, value=_display(v), dataType="String"),
+                ).otherwise(_null_violation())
+            ]
+            if alt.get("max") is not None:
+                conds.append(
+                    F.when(
+                        F.length(s) > alt["max"],
+                        violation(name, ErrorTypes.MAX_STRING, value=s, max=str(alt["max"])),
+                    ).otherwise(_null_violation())
+                )
+            if alt.get("min") is not None:
+                conds.append(
+                    F.when(
+                        F.length(s) < alt["min"],
+                        violation(name, ErrorTypes.MIN_STRING, value=s, min=str(alt["min"])),
+                    ).otherwise(_null_violation())
+                )
+            regex = alt.get("regEx")
+            if regex is not None:
+                pats = regex if isinstance(regex, (list, tuple)) else [regex]
+                for pat in pats:
+                    fail = ~s.rlike(to_java_regex(pat))
+                    if alt.get("skipRegExCheckForEmptyStrings") is True and not isinstance(
+                        regex, (list, tuple)
+                    ):
+                        fail = fail & (s != "")
+                    conds.append(
+                        F.when(
+                            fail,
+                            violation(
+                                name,
+                                ErrorTypes.FAILED_REGULAR_EXPRESSION,
+                                value=s,
+                                regExp=js_regex_repr(pat),
+                            ),
+                        ).otherwise(_null_violation())
+                    )
+            return F.coalesce(*conds)
+
+        if token in (Number, Integer):
+            n = _json_num(v)
+            dt = "Integer" if token is Integer else "Number"
+            conds = [
+                F.when(
+                    ~_is_json_number(v),
+                    violation(name, ErrorTypes.EXPECTED_TYPE, value=_display(v), dataType=dt),
+                ).otherwise(_null_violation())
+            ]
+            not_inc = op != "$inc"  # bounds skipped under $inc
+            if alt.get("max") is not None:
+                excl = alt.get("exclusiveMax") is True
+                cond = (n >= alt["max"]) if excl else (n > alt["max"])
+                conds.append(
+                    F.when(
+                        not_inc & cond,
+                        violation(
+                            name,
+                            ErrorTypes.MAX_NUMBER_EXCLUSIVE if excl else ErrorTypes.MAX_NUMBER,
+                            value=_display(v),
+                            max=str(alt["max"]),
+                        ),
+                    ).otherwise(_null_violation())
+                )
+            if alt.get("min") is not None:
+                excl = alt.get("exclusiveMin") is True
+                cond = (n <= alt["min"]) if excl else (n < alt["min"])
+                conds.append(
+                    F.when(
+                        not_inc & cond,
+                        violation(
+                            name,
+                            ErrorTypes.MIN_NUMBER_EXCLUSIVE if excl else ErrorTypes.MIN_NUMBER,
+                            value=_display(v),
+                            min=str(alt["min"]),
+                        ),
+                    ).otherwise(_null_violation())
+                )
+            if token is Integer:
+                conds.append(
+                    F.when(
+                        n != F.floor(n),
+                        violation(name, ErrorTypes.MUST_BE_INTEGER, value=_display(v)),
+                    ).otherwise(_null_violation())
+                )
+            return F.coalesce(*conds)
+
+        if token is Boolean:
+            return F.when(
+                ~_is_json_bool(v),
+                violation(name, ErrorTypes.EXPECTED_TYPE, value=_display(v), dataType="Boolean"),
+            ).otherwise(_null_violation())
+
+        if token is DateType:
+            # $currentDate accepts true or {"$type":"date"}
+            # (typeValidator/index.ts:40-44); the substituted value is `now`,
+            # checked against min/max (ts:57-59)
+            current_ok = (op == "$currentDate") & (
+                v.rlike("^\\s*true\\s*$")
+                | (F.regexp_replace(v, "\\s", "") == F.lit('{"$type":"date"}'))
+            )
+            ts = F.when(current_ok, F.current_timestamp()).otherwise(_json_date(v))
+            conds = [
+                F.when(
+                    ts.isNull(),
+                    violation(name, ErrorTypes.EXPECTED_TYPE, value=_display(v), dataType="Date"),
+                ).otherwise(_null_violation())
+            ]
+            if alt.get("min") is not None:
+                from .compiler.compile import _date_str
+
+                conds.append(
+                    F.when(
+                        ts < F.lit(alt["min"]),
+                        violation(
+                            name, ErrorTypes.MIN_DATE, value=ts.cast("string"),
+                            min=_date_str(alt["min"]),
+                        ),
+                    ).otherwise(_null_violation())
+                )
+            if alt.get("max") is not None:
+                from .compiler.compile import _date_str
+
+                conds.append(
+                    F.when(
+                        ts > F.lit(alt["max"]),
+                        violation(
+                            name, ErrorTypes.MAX_DATE, value=ts.cast("string"),
+                            max=_date_str(alt["max"]),
+                        ),
+                    ).otherwise(_null_violation())
+                )
+            return F.coalesce(*conds)
+
+        if token is ArrayType:
+            conds = [
+                F.when(
+                    ~_is_json_array(v),
+                    violation(name, ErrorTypes.EXPECTED_TYPE, value=_display(v), dataType="Array"),
+                ).otherwise(_null_violation())
+            ]
+            if alt.get("minCount") is not None:
+                conds.append(
+                    F.when(
+                        F.json_array_length(v) < alt["minCount"],
+                        violation(name, ErrorTypes.MIN_COUNT, value=v, minCount=str(alt["minCount"])),
+                    ).otherwise(_null_violation())
+                )
+            if alt.get("maxCount") is not None:
+                conds.append(
+                    F.when(
+                        F.json_array_length(v) > alt["maxCount"],
+                        violation(name, ErrorTypes.MAX_COUNT, value=v, maxCount=str(alt["maxCount"])),
+                    ).otherwise(_null_violation())
+                )
+            return F.coalesce(*conds)
+
+        if token is ObjectType:
+            return F.when(
+                ~_is_json_object(v) | _is_ext_date(v),
+                violation(name, ErrorTypes.EXPECTED_TYPE, value=_display(v), dataType="Object"),
+            ).otherwise(_null_violation())
+
+        if token is Binary:
+            return F.when(
+                F.lit(True),
+                violation(name, ErrorTypes.EXPECTED_TYPE, value=_display(v), dataType="Uint8Array"),
+            ).otherwise(_null_violation())
+
+        return None
+
+
+def _each_elements_as_json(v: Column, comp: "_ModifierCompiler", item_key: str) -> Column:
+    """Parse ``{"$each": [...]}`` and re-encode each element as a standalone
+    JSON string, typed by the item definition's first alternative.
+
+    String elements round-trip via ``to_json(array(e))`` minus the brackets
+    (correct escaping); numerics/booleans stringify directly; dates keep the
+    extended-JSON object form.
+    """
+    alts = comp._alternatives(item_key)
+    token = alts[0].get("type") if alts else String
+    if token in (Number, Integer):
+        arr = F.from_json(v, "`$each` array<double>").getField("$each")
+        return F.transform(arr, lambda e: e.cast("string"))
+    if token is Boolean:
+        arr = F.from_json(v, "`$each` array<boolean>").getField("$each")
+        return F.transform(arr, lambda e: e.cast("string"))
+    if token is DateType:
+        arr = F.from_json(v, "`$each` array<struct<`$date`:string>>").getField("$each")
+        return F.transform(arr, lambda e: F.to_json(e))
+    # default: strings (and anything else) — JSON-escape via to_json(array(e))
+    arr = F.from_json(v, "`$each` array<string>").getField("$each")
+    return F.transform(
+        arr,
+        lambda e: F.substring(
+            F.to_json(F.array(e)), 2, F.length(F.to_json(F.array(e))) - 2
+        ),
+    )
+
+
+def validate_modifier_table(
+    mods: DataFrame,
+    schema: SimpleSchema,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Violations table ``(id, name, type, value…)`` for a long-format
+    modifier table ``(id, op, key_path, value, upsert)``."""
+    comp = _ModifierCompiler(schema)
+    op = F.col("op")
+    key_path = F.col("key_path")
+    v = F.col("value")
+    generic = _generic_key(key_path)
+
+    # ---- input validation (compile-level errors surfaced as rows) ----------
+    bad_op = F.when(
+        op == "$pushAll",
+        violation(key_path, "unsupportedOperator", value=op),
+    ).when(
+        ~op.startswith("$"),
+        violation(key_path, "notAModifierOperator", value=op),
+    ).otherwise(_null_violation())
+
+    # ---- KEY_NOT_IN_SCHEMA --------------------------------------------------
+    # not emitted for $unset/$rename sources (validateField.ts:265-270) nor
+    # `<datekey>.$type` under $currentDate; blackbox descendants allowed
+    allowed_keys = set(comp.merged.keys())
+    blackbox = schema.blackbox_keys()
+    allowed_expr = generic.isin(*allowed_keys) if allowed_keys else F.lit(False)
+    for bb in blackbox:
+        allowed_expr = allowed_expr | generic.startswith(bb + ".")
+    # ancestors of declared keys used as object-valued targets are allowed
+    key_unknown = (
+        ~allowed_expr
+        & ~op.isin("$unset", "$rename")
+        & ~((op == "$currentDate") & generic.endswith(".$type"))
+    )
+    key_not_in_schema = F.when(
+        key_unknown,
+        violation(key_path, ErrorTypes.KEY_NOT_IN_SCHEMA, value=_display(v)),
+    ).otherwise(_null_violation())
+
+    # ---- required: explicit null / $unset / $rename -------------------------
+    required_rows = []
+    optional_map = {
+        k: bool(d.get("optional", False)) if not callable(d.get("optional")) else False
+        for k, d in comp.merged.items()
+    }
+    non_optional = [k for k, opt in optional_map.items() if not opt]
+    req_cond = None
+    if non_optional:
+        is_non_opt = generic.isin(*non_optional)
+        req_cond = F.when(
+            is_non_opt
+            & (
+                op.isin("$unset", "$rename")
+                | (op.isin(*OPS_SET) & _is_json_null(v))
+            ),
+            violation(key_path, ErrorTypes.REQUIRED),
+        ).otherwise(_null_violation())
+
+    # ---- per-key value rules -------------------------------------------------
+    # value checked for $set/$setOnInsert/$inc/$min/$max/$mul/$currentDate
+    # (non-null values); for $push/$addToSet against the ITEM definition
+    check_value_ops = list(OPS_SET) + ["$inc", "$currentDate", "$min", "$max", "$mul"]
+    empty_viol_arr = F.lit(None).cast(T.ArrayType(VIOLATION_SCHEMA))
+    value_rule = _null_violation()
+    item_rule = _null_violation()
+    each_err = empty_viol_arr
+    for k in comp.merged:
+        if k.endswith(".$"):
+            continue
+        err = comp.value_error(k, v, key_path, op)
+        if err is not None:
+            value_rule = F.when(generic == k, err).otherwise(value_rule)
+        # concrete array index paths (tags.0) validate against the item def
+        item_key = f"{k}.$"
+        if item_key in comp.merged:
+            ierr_idx = comp.value_error(k, v, key_path, op, as_item=True)
+            if ierr_idx is not None:
+                value_rule = F.when(generic == item_key, ierr_idx).otherwise(
+                    value_rule
+                )
+            ierr = comp.value_error(k, v, key_path, op, as_item=True)
+            if ierr is not None:
+                item_rule = F.when(generic == k, ierr).otherwise(item_rule)
+                # $each: every element validated (doValidation.ts:52-58);
+                # elements re-encoded to JSON per the item's expected type
+                elems = _each_elements_as_json(v, comp, item_key)
+                per_elem = F.filter(
+                    F.transform(
+                        F.coalesce(elems, F.array().cast("array<string>")),
+                        lambda e: comp.value_error(k, e, key_path, op, as_item=True),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+                each_err = F.when(
+                    (generic == k) & v.rlike(r'^\s*\{\s*"\$each"'), per_elem
+                ).otherwise(each_err)
+
+    checked = F.when(
+        op.isin(*check_value_ops) & ~_is_json_null(v),
+        value_rule,
+    ).when(
+        op.isin(*OPS_PUSH) & ~v.rlike(r'^\s*\{\s*"\$each"'),
+        item_rule,
+    ).otherwise(_null_violation())
+
+    per_row = F.coalesce(
+        bad_op,
+        req_cond if req_cond is not None else _null_violation(),
+        key_not_in_schema,
+        checked,
+    )
+
+    empty_arr = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+    base = mods.select(
+        F.col(id_col),
+        F.array_compact(
+            F.concat(
+                F.array(per_row),
+                F.coalesce(
+                    F.when(op.isin(*OPS_PUSH), each_err), empty_arr
+                ),
+            )
+        ).alias("violations"),
+    ).select(F.col(id_col), F.explode("violations").alias("violation")).select(
+        id_col, "violation.*"
+    )
+
+    # ---- upsert required-injection -------------------------------------------
+    # for upsert $set/$setOnInsert docs: every non-optional key neither set
+    # non-null, nor ancestor-created ("a.b" with value ⇒ "a" satisfied),
+    # fires required (requiredValidator.ts:41-60 + doValidation.ts:64-70)
+    if non_optional:
+        set_rows = mods.where(
+            F.col("upsert") & F.col("op").isin(*OPS_SET)
+        )
+        present = (
+            set_rows.where(~_is_json_null(F.col("value")))
+            .select(F.col(id_col), _generic_key(F.col("key_path")).alias("k"))
+            .distinct()
+        )
+        upsert_docs = set_rows.select(id_col).distinct()
+        keys_df = upsert_docs.sparkSession.createDataFrame(
+            [(k,) for k in non_optional if "$" not in k], "k string"
+        )
+        needed = upsert_docs.crossJoin(F.broadcast(keys_df))
+        satisfied = present.select(
+            id_col, F.explode(
+                F.array_union(
+                    F.array(F.col("k")),
+                    # ancestor-creating: a.b.c with value satisfies a and a.b
+                    F.slice(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(F.split(F.col("k"), "\\."))),
+                            lambda n: F.array_join(F.slice(F.split(F.col("k"), "\\."), 1, n), "."),
+                        ),
+                        1,
+                        F.greatest(F.size(F.split(F.col("k"), "\\.")) - 1, F.lit(0)),
+                    ),
+                )
+            ).alias("k")
+        ).distinct()
+        missing = needed.join(satisfied, on=[id_col, "k"], how="left_anti")
+        upsert_viols = missing.select(
+            F.col(id_col),
+            F.col("k").alias("name"),
+            F.lit(ErrorTypes.REQUIRED).alias("type"),
+            F.lit(None).cast("string").alias("value"),
+            *[F.lit(None).cast("string").alias(c) for c in
+              ("dataType", "min", "max", "regExp", "minCount", "maxCount")],
+        )
+        base = base.unionByName(upsert_viols)
+
+    return base

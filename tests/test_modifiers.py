@@ -1,0 +1,253 @@
+"""Update-modifier validation parity tests.
+
+Cases drawn from the reference's per-op matrices
+(/root/reference/test/SimpleSchema_type.tests.ts describe blocks per type ×
+{$set, $setOnInsert-upsert, $push}, test/SimpleSchema_required.tests.ts:177+).
+Long-format encoding per FIXTURES.md F6.
+"""
+
+import json
+
+import pytest
+
+from simpl_schema_spark.modifiers import validate_modifier_table
+from simpl_schema_spark.schema import SimpleSchema
+
+MOD_DDL = "doc_id bigint, op string, key_path string, value string, upsert boolean"
+
+
+def schema():
+    return SimpleSchema(
+        {
+            "requiredString": str,
+            "optionalString": {"type": str, "optional": True, "min": 2},
+            "count": {"type": int, "min": 0, "max": 10},
+            "tags": {"type": SimpleSchema.Array, "optional": True, "maxCount": 3},
+            "tags.$": {"type": str, "max": 5},
+            "when": {"type": SimpleSchema.Date, "optional": True},
+            "lang": {"type": str, "optional": True, "allowedValues": ["en", "de"]},
+        }
+    )
+
+
+def run(spark, rows, ss=None):
+    df = spark.createDataFrame(rows, MOD_DDL)
+    out = validate_modifier_table(df, ss or schema())
+    return sorted(
+        (r.doc_id, r.name, r.type) for r in out.collect()
+    )
+
+
+def mod(doc_id, op, key, value, upsert=False):
+    return (doc_id, op, key, json.dumps(value) if not isinstance(value, str) or True else value, upsert)
+
+
+class TestSet:
+    def test_valid_set(self, spark):
+        assert run(spark, [
+            (1, "$set", "requiredString", '"hi"', False),
+            (1, "$set", "count", "5", False),
+        ]) == []
+
+    def test_set_null_required(self, spark):
+        # $set: {requiredString: null} ⇒ required
+        assert run(spark, [(1, "$set", "requiredString", "null", False)]) == [
+            (1, "requiredString", "required")
+        ]
+
+    def test_set_null_optional_ok(self, spark):
+        assert run(spark, [(1, "$set", "optionalString", "null", False)]) == []
+
+    def test_set_wrong_type(self, spark):
+        assert run(spark, [(1, "$set", "requiredString", "5", False)]) == [
+            (1, "requiredString", "expectedType")
+        ]
+
+    def test_set_bounds(self, spark):
+        assert run(spark, [(1, "$set", "count", "11", False)]) == [
+            (1, "count", "maxNumber")
+        ]
+        assert run(spark, [(1, "$set", "count", "-1", False)]) == [
+            (1, "count", "minNumber")
+        ]
+
+    def test_set_integer_check(self, spark):
+        assert run(spark, [(1, "$set", "count", "5.5", False)]) == [
+            (1, "count", "noDecimal")
+        ]
+
+    def test_set_allowed_values(self, spark):
+        assert run(spark, [(1, "$set", "lang", '"xx"', False)]) == [
+            (1, "lang", "notAllowed")
+        ]
+
+    def test_set_min_string(self, spark):
+        assert run(spark, [(1, "$set", "optionalString", '"x"', False)]) == [
+            (1, "optionalString", "minString")
+        ]
+
+    def test_set_whole_array(self, spark):
+        assert run(spark, [(1, "$set", "tags", '["a","b","c","d"]', False)]) == [
+            (1, "tags", "maxCount")
+        ]
+
+    def test_set_array_item_by_index(self, spark):
+        # $set {'tags.0': 'toolong'} validates against the item definition
+        assert run(spark, [(1, "$set", "tags.0", '"toolooong"', False)]) == [
+            (1, "tags.0", "maxString")
+        ]
+
+    def test_set_date_extended_json(self, spark):
+        assert run(spark, [(1, "$set", "when", '{"$date":"2020-01-01T00:00:00Z"}', False)]) == []
+        assert run(spark, [(1, "$set", "when", '"not a date"', False)]) == [
+            (1, "when", "expectedType")
+        ]
+
+
+class TestUnsetRename:
+    def test_unset_required(self, spark):
+        assert run(spark, [(1, "$unset", "requiredString", '""', False)]) == [
+            (1, "requiredString", "required")
+        ]
+
+    def test_unset_optional_ok(self, spark):
+        assert run(spark, [(1, "$unset", "optionalString", '""', False)]) == []
+
+    def test_unset_unknown_key_no_violation(self, spark):
+        # no KEY_NOT_IN_SCHEMA for unknown keys being unset
+        # (validateField.ts:265-270)
+        assert run(spark, [(1, "$unset", "zzz", '""', False)]) == []
+
+    def test_rename_required(self, spark):
+        assert run(spark, [(1, "$rename", "requiredString", '"other"', False)]) == [
+            (1, "requiredString", "required")
+        ]
+
+
+class TestInc:
+    def test_inc_skips_bounds(self, spark):
+        # type checked, min/max skipped (checkNumberValue.ts:20,36)
+        assert run(spark, [(1, "$inc", "count", "50", False)]) == []
+        assert run(spark, [(1, "$inc", "count", "-50", False)]) == []
+
+    def test_inc_type_checked(self, spark):
+        assert run(spark, [(1, "$inc", "count", '"nope"', False)]) == [
+            (1, "count", "expectedType")
+        ]
+
+
+class TestPush:
+    def test_push_item_validated(self, spark):
+        assert run(spark, [(1, "$push", "tags", '"ok"', False)]) == []
+        assert run(spark, [(1, "$push", "tags", '"toolooong"', False)]) == [
+            (1, "tags", "maxString")
+        ]
+
+    def test_add_to_set_same_handling(self, spark):
+        assert run(spark, [(1, "$addToSet", "tags", '"toolooong"', False)]) == [
+            (1, "tags", "maxString")
+        ]
+
+    def test_push_each(self, spark):
+        rows = [(1, "$push", "tags", '{"$each": ["ok", "toolooong", "fine!"]}', False)]
+        got = run(spark, rows)
+        assert got == [(1, "tags", "maxString")]
+
+    def test_pull_pop_skipped(self, spark):
+        assert run(spark, [
+            (1, "$pull", "tags", '"whatever-even-invalid"', False),
+            (1, "$pop", "tags", "1", False),
+        ]) == []
+
+    def test_pushall_unsupported(self, spark):
+        assert run(spark, [(1, "$pushAll", "tags", '["a"]', False)]) == [
+            (1, "tags", "unsupportedOperator")
+        ]
+
+
+class TestCurrentDate:
+    def test_true_form(self, spark):
+        assert run(spark, [(1, "$currentDate", "when", "true", False)]) == []
+
+    def test_type_date_form(self, spark):
+        assert run(spark, [(1, "$currentDate", "when", '{"$type":"date"}', False)]) == []
+
+    def test_min_checked_against_now(self, spark):
+        import datetime
+
+        ss = SimpleSchema(
+            {
+                "when": {
+                    "type": SimpleSchema.Date,
+                    "optional": True,
+                    "max": datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc),
+                }
+            }
+        )
+        # now > 2020-01-01 ⇒ maxDate
+        assert run(spark, [(1, "$currentDate", "when", "true", False)], ss) == [
+            (1, "when", "maxDate")
+        ]
+
+
+class TestKeyNotInSchema:
+    def test_unknown_set_key(self, spark):
+        assert run(spark, [(1, "$set", "nope", '"x"', False)]) == [
+            (1, "nope", "keyNotInSchema")
+        ]
+
+    def test_blackbox_subkeys_allowed(self, spark):
+        ss = SimpleSchema(
+            {"bb": {"type": dict, "optional": True, "blackbox": True}}
+        )
+        # $set/$push into blackbox subkeys are valid
+        # (test/SimpleSchema_blackbox.tests.ts:29-58)
+        assert run(spark, [
+            (1, "$set", "bb.foo", '"x"', False),
+            (1, "$push", "bb.arr", '"y"', False),
+        ], ss) == []
+
+    def test_bad_operator(self, spark):
+        assert run(spark, [(1, "set", "requiredString", '"x"', False)]) == [
+            (1, "requiredString", "notAModifierOperator")
+        ]
+
+
+class TestUpsert:
+    def test_upsert_injects_required(self, spark):
+        # upsert $set of only optionalString ⇒ requiredString + count required
+        got = run(spark, [(1, "$set", "optionalString", '"ok"', True)])
+        assert got == [
+            (1, "count", "required"),
+            (1, "requiredString", "required"),
+        ]
+
+    def test_upsert_satisfied_keys_not_injected(self, spark):
+        got = run(spark, [
+            (1, "$set", "requiredString", '"ok"', True),
+            (1, "$setOnInsert", "count", "5", True),
+        ])
+        assert got == []
+
+    def test_upsert_null_set_still_required(self, spark):
+        got = run(spark, [
+            (1, "$set", "requiredString", "null", True),
+            (1, "$set", "count", "5", True),
+        ])
+        # explicit null fires per-row required; injection also sees it unset
+        assert (1, "requiredString", "required") in got
+        assert (1, "count", "required") not in got
+
+    def test_non_upsert_no_injection(self, spark):
+        assert run(spark, [(1, "$set", "optionalString", '"ok"', False)]) == []
+
+    def test_ancestor_creating_key_satisfies_parent(self, spark):
+        ss = SimpleSchema(
+            {
+                "a": {"type": dict},
+                "a.b": str,
+            }
+        )
+        # $set {'a.b': 'x'} on upsert ⇒ don't require 'a'
+        got = run(spark, [(1, "$set", "a.b", '"x"', True)], ss)
+        assert got == []
