@@ -512,10 +512,14 @@ class RuleCompiler:
                 ).otherwise(_null_violation())
             )
 
+        # ordered validator tail: custom, then schema-level, then global
+        # validators (validateField.ts:192-226 / SimpleSchema.ts:825-827,
+        # 1059-1061)
         custom = alt.get("custom")
-        if custom is not None:
+        tail = ([custom] if custom is not None else []) + self.schema.all_validators()
+        for fn in tail:
             chain.append(
-                self._custom_error(generic, value, name, dtype, alt, custom, in_lambda)
+                self._custom_error(generic, value, name, dtype, alt, fn, in_lambda)
             )
 
         if not chain:

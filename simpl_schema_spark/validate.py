@@ -87,7 +87,58 @@ def with_violations(
     out = df.withColumn(violations_col, col)
     if compiler.pandas_rules:
         out = out.drop(*[r.column_name for r in compiler.pandas_rules])
+
+    # V10 doc validators: whole-document functions returning violation lists
+    # (reference validateDocument.ts:18-58) — one Arrow-batched pandas UDF
+    # over a struct of all columns, results concatenated after field errors
+    doc_validators = schema.all_doc_validators()
+    if doc_validators:
+        out = _apply_doc_validators(out, df.columns, doc_validators, violations_col)
     return out
+
+
+def _apply_doc_validators(
+    df: DataFrame,
+    data_cols: list[str],
+    validators: list[Callable],
+    violations_col: str,
+) -> DataFrame:
+    from .errors import VIOLATION_FIELDS
+
+    def run_all(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                doc = {c: row[c] for c in data_cols}
+                errs = []
+                for fn in validators:
+                    errs.extend(fn(doc) or [])
+                rows.append(
+                    [
+                        {
+                            fname: (
+                                None
+                                if e.get(fname) is None
+                                else str(e.get(fname))
+                            )
+                            for fname, _ in VIOLATION_FIELDS
+                        }
+                        for e in errs
+                    ]
+                )
+            pdf = pdf.copy()
+            pdf["__doc_violations"] = rows
+            yield pdf
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("__doc_violations", T.ArrayType(VIOLATION_SCHEMA))]
+    )
+    with_doc = df.mapInPandas(run_all, schema=out_schema)
+    return with_doc.withColumn(
+        violations_col,
+        F.concat(F.col(violations_col), F.col("__doc_violations")),
+    ).drop("__doc_violations")
 
 
 def violations_table(
