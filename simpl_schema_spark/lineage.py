@@ -1,0 +1,155 @@
+"""Resumable partitioned validation runs with per-partition lineage + metrics.
+
+North rule: "resumable from checkpoint with per-partition lineage + metrics
+tables, partitioning by warc_ts bucket + url hash".
+
+Production mapping (Iceberg): each run appends one snapshot per completed
+partition batch; resume = diff (table partitions) − (manifest partitions);
+lineage/metrics are ordinary Iceberg tables appended transactionally with the
+data.  Sandbox mapping (parquet, implemented here): the same contract over a
+directory layout —
+
+    <output>/violations/part_key=<v>/…      exploded violation rows
+    <output>/metrics/…                      one row per (run_id, partition)
+    <output>/manifest/…                     completed-partition ledger
+
+Idempotence: a partition is skipped iff it appears in the manifest with
+status='done'; a crashed run leaves no manifest row (manifest is written
+AFTER the partition's data), so re-running reprocesses exactly the
+incomplete partitions (writes are per-partition overwrites → no dup rows).
+
+Scale notes: the partition loop is over PARTITION VALUES (e.g. crawl days),
+not rows — hundreds of iterations, each a fully parallel Spark job
+dynamically overwriting one partition directory.  A 100 TB table with ~365
+daily partitions resumes at day granularity; bucket-level granularity is one
+extra column in the same design.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schema.schema import SimpleSchema
+from .validate import with_violations
+
+__all__ = ["PartitionedValidationRun", "run_partitioned_validation"]
+
+_METRICS_DDL = (
+    "run_id string, part_key string, n_rows bigint, n_violations bigint, "
+    "n_invalid_rows bigint, wall_sec double, completed_at timestamp"
+)
+
+
+@dataclass
+class PartitionedValidationRun:
+    run_id: str
+    completed: list[str]
+    skipped: list[str]
+    output_dir: str
+
+
+def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[str]:
+    try:
+        return {
+            r.part_key
+            for r in spark.read.parquet(manifest_dir)
+            .where(F.col("status") == "done")
+            .select("part_key")
+            .distinct()
+            .collect()
+        }
+    except Exception:  # noqa: BLE001 — first run: no manifest yet
+        return set()
+
+
+def run_partitioned_validation(
+    df: DataFrame,
+    schema: SimpleSchema,
+    output_dir: str,
+    *,
+    partition_expr: Optional[F.Column] = None,
+    partition_col: str = "part_key",
+    id_cols: Iterable[str] = ("url",),
+    run_id: Optional[str] = None,
+    max_partitions: Optional[int] = None,
+) -> PartitionedValidationRun:
+    """Validate ``df`` partition-by-partition, resumably.
+
+    ``partition_expr`` defaults to ``date(warc_ts)`` — the crawl-day
+    partitioning of the north rule.  Each pending partition gets: violation
+    rows written under ``violations/part_key=<v>/``, one metrics row, one
+    manifest row.  Already-done partitions are skipped.
+    """
+    spark = df.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if partition_expr is None:
+        partition_expr = F.to_date(F.col("warc_ts")).cast("string")
+
+    keyed = df.withColumn(partition_col, partition_expr)
+    all_parts = [
+        r[0]
+        for r in keyed.select(partition_col).distinct().orderBy(partition_col).collect()
+    ]
+    done = _manifest_done(spark, f"{output_dir}/manifest")
+    pending = [p for p in all_parts if p not in done]
+    if max_partitions is not None:
+        pending = pending[:max_partitions]
+
+    id_cols = list(id_cols)
+    completed: list[str] = []
+    for part in pending:
+        t0 = time.perf_counter()
+        slice_df = keyed.where(F.col(partition_col) == part)
+        validated = with_violations(slice_df, schema.omit(partition_col) if partition_col in schema else schema)
+        viols = validated.select(
+            *id_cols,
+            F.col(partition_col),
+            F.explode("violations").alias("violation"),
+        ).select(*id_cols, partition_col, "violation.*")
+
+        # partition-scoped overwrite → idempotent re-runs
+        (
+            viols.write.mode("overwrite")
+            .parquet(f"{output_dir}/violations/{partition_col}={part}")
+        )
+        stats = validated.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size("violations")).alias("n_violations"),
+            F.sum((F.size("violations") > 0).cast("long")).alias("n_invalid_rows"),
+        ).collect()[0]
+        wall = time.perf_counter() - t0
+
+        metrics_row = spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    part,
+                    stats.n_rows,
+                    int(stats.n_violations or 0),
+                    int(stats.n_invalid_rows or 0),
+                    round(wall, 3),
+                )
+            ],
+            "run_id string, part_key string, n_rows bigint, n_violations bigint, "
+            "n_invalid_rows bigint, wall_sec double",
+        ).withColumn("completed_at", F.current_timestamp())
+        metrics_row.write.mode("append").parquet(f"{output_dir}/metrics")
+
+        spark.createDataFrame(
+            [(run_id, part, "done")], "run_id string, part_key string, status string"
+        ).withColumn("completed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(f"{output_dir}/manifest")
+        completed.append(part)
+
+    return PartitionedValidationRun(
+        run_id=run_id,
+        completed=completed,
+        skipped=[p for p in all_parts if p in done],
+        output_dir=output_dir,
+    )
