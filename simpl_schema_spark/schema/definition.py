@@ -344,7 +344,10 @@ def check_and_scrub_definition(
 
 def _invert_fn(fn: Callable) -> Callable:
     def optional(*args, **kwargs):
-        return not fn(*args, **kwargs)
+        try:
+            return not fn(*args, **kwargs)
+        except TypeError:
+            return not fn()
 
     return optional
 

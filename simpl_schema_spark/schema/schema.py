@@ -523,9 +523,18 @@ class _UnsetField:
     operator = None
 
 
+def _call_flexible(fn: Callable, ctx: _FunctionPropContext) -> Any:
+    """Call a function-valued prop with the context, tolerating zero-arg fns
+    (the reference passes variadic args through; Python fns declare arity)."""
+    try:
+        return fn(ctx)
+    except TypeError:
+        return fn()
+
+
 def _resolve_prop(name: str, value: Any, ctx: _FunctionPropContext) -> Any:
     if name in PROPS_THAT_CAN_BE_FUNCTION and callable(value) and not is_type_like(value):
-        return value(ctx)
+        return _call_flexible(value, ctx)
     return value
 
 
