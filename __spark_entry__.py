@@ -262,6 +262,50 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_validate_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-modifier semantics (§2.4): $set value checks, $inc bounds
+    exemption, $unset required — over a modifier table derived
+    deterministically from documents."""
+    from simpl_schema_spark.modifiers import validate_modifier_table
+
+    d = _docs(spark, sf_dir)
+    mods = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("$set").alias("op"),
+                    F.lit("lang").alias("key_path"),
+                    F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("value"),
+                ),
+                F.struct(
+                    F.lit("$set").alias("op"),
+                    F.lit("n_chars").alias("key_path"),
+                    F.col("n_chars").cast("string").alias("value"),
+                ),
+                F.struct(
+                    F.lit("$inc").alias("op"),
+                    F.lit("n_chars").alias("key_path"),
+                    F.lit("100000").alias("value"),  # bounds skipped under $inc
+                ),
+                F.struct(
+                    F.lit("$unset").alias("op"),
+                    F.lit("text").alias("key_path"),
+                    F.lit('""').alias("value"),
+                ),
+                F.struct(
+                    F.lit("$set").alias("op"),
+                    F.lit("source").alias("key_path"),
+                    F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("value"),
+                ),
+            )
+        ).alias("m"),
+    ).select("doc_id", "m.op", "m.key_path", "m.value", F.lit(False).alias("upsert"))
+    return validate_modifier_table(mods, _doc_schema()).select(
+        "doc_id", "name", "type", "value"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -285,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
         "embedding_near_dups": q_embedding_near_dups,
+        "validate_modifiers": q_validate_modifiers,
     }
 
 
@@ -303,6 +348,19 @@ _DUP_DOCS_SQL = (
 def oracle_sql() -> dict[str, str]:
     langs = ", ".join(f"'{l}'" for l in _ALLOWED_LANGS)
     return {
+        "validate_modifiers": f"""
+            select doc_id, 'lang' as name, 'notAllowed' as type, lang as value
+              from documents where lang not in ({langs})
+            union all
+            select doc_id, 'n_chars', 'maxNumber', cast(n_chars as varchar)
+              from documents where n_chars > {_NCHARS_MAX}
+            union all
+            select doc_id, 'text', 'required', cast(null as varchar)
+              from documents
+            union all
+            select doc_id, 'source', 'regEx', source
+              from documents where not regexp_matches(source, '{_SOURCE_RE}')
+        """,
         "validate_documents": f"""
             select doc_id, 'text' as name, 'minString' as type, text as value
               from documents where length(text) < {_TEXT_MIN}

@@ -44,6 +44,7 @@ HEADLINE = [
     "minhash_near_dups",
     "simhash_near_dups",
     "lang_id",
+    "validate_modifiers",
 ]
 
 
@@ -128,6 +129,15 @@ def run_docs_bench(n_rows: int, cores: int) -> dict:
 
     path = ensure_docs_parquet(n_rows)
     spark = make_spark(cores, shuffle_partitions=max(cores, 8))
+    # Split sizing: the default 128 MB maxPartitionBytes bin-packs the ~128
+    # x 16 MB input files into ~17 splits — fewer tasks than threads at
+    # local[32], capping scaling at 17-way regardless of cores. Raising
+    # openCostInBytes defeats the packing so each FILE is one task (128
+    # tasks = 4 waves at 32 threads), aligned with parquet row groups —
+    # byte-range splitting (small maxPartitionBytes) would cut row groups
+    # mid-file and re-read them. Same knob, same reasoning on a real
+    # cluster: target ≈ 2-4 tasks per executor core per wave.
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
     from simpl_schema_spark.datagen import documents_schema
     from simpl_schema_spark.pipeline import clean_and_validate
@@ -145,15 +155,21 @@ def run_docs_bench(n_rows: int, cores: int) -> dict:
     # warm-up execution: JIT/codegen + page cache (full job, untimed)
     materialize(observed)
 
-    t0 = time.perf_counter()
-    materialize(observed)
-    wall = time.perf_counter() - t0
+    # best-of-3: the sandbox has noisy neighbors; min wall is the honest
+    # estimate of the machine's deliverable throughput at this thread count
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        materialize(observed)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
     metrics = obs.get
     spark.stop()
     return {
         "cores": cores,
         "rows": n_rows,
         "wall_sec": round(wall, 3),
+        "all_walls": [round(w, 3) for w in walls],
         "compile_sec": round(compile_sec, 3),
         "docs_per_sec": round(n_rows / wall, 1),
         "violations": int(metrics.get("violation_count", -1)),

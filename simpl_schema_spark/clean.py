@@ -66,10 +66,12 @@ JS_WS_CLASS = (
 
 
 def js_trim(col: Column) -> Column:
-    """String.prototype.trim parity (strips the JS whitespace set)."""
-    return F.regexp_replace(
-        F.regexp_replace(col, f"^{JS_WS_CLASS}+", ""), f"{JS_WS_CLASS}+$", ""
-    )
+    """String.prototype.trim parity (strips the JS whitespace set).
+
+    Single-pass anchored alternation — one regex traversal per string, not
+    two; at 100 TB the trim is in the per-row hot loop.
+    """
+    return F.regexp_replace(col, f"^{JS_WS_CLASS}+|{JS_WS_CLASS}+$", "")
 
 
 def js_number_to_string(col: Column, dtype: T.DataType) -> Column:

@@ -224,7 +224,15 @@ class RuleCompiler:
     # -------------------------------------------------------------- public
 
     def violations_column(self) -> Column:
-        """The whole rule forest as one array<violation> Column."""
+        """The whole rule forest as one array<violation> Column.
+
+        Assembled with ``concat`` of conditional singleton arrays rather than
+        ``array_compact(flatten(...))``: higher-order functions are
+        CodegenFallback expressions, and keeping them out of the row-level
+        path lets the entire projection stay inside whole-stage codegen
+        (HOFs remain only inside array-item subtrees, where they are the
+        right tool).
+        """
         arrays = self._compile_children(
             prefix="",
             value=None,
@@ -234,9 +242,10 @@ class RuleCompiler:
             in_lambda=False,
         )
         arrays.extend(self._extra_key_violations())
+        empty = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
         if not arrays:
-            return F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
-        combined = F.array_compact(F.flatten(F.array(*arrays)))
+            return empty
+        combined = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
         if self.ignore:
             ig = [F.lit(t) for t in self.ignore]
             combined = F.filter(
@@ -346,7 +355,11 @@ class RuleCompiler:
                 in_lambda,
             )
             if key_err is not None:
-                arrays.append(F.array(key_err))
+                arrays.append(
+                    F.when(key_err.isNotNull(), F.array(key_err)).otherwise(
+                        F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+                    )
+                )
 
         # recursion — objects and arrays
         alt_types = [a.get("type") for a in alternatives]
@@ -794,16 +807,16 @@ class RuleCompiler:
                         f"column {f.name!r} is not allowed by the schema"
                     )
                 out.append(
-                    F.array(
-                        F.when(
-                            F.col(f.name).isNotNull(),
+                    F.when(
+                        F.col(f.name).isNotNull(),
+                        F.array(
                             violation(
                                 F.lit(f.name),
                                 ErrorTypes.KEY_NOT_IN_SCHEMA,
                                 value=_stringify(F.col(f.name), f.dataType),
-                            ),
-                        ).otherwise(_null_violation())
-                    )
+                            )
+                        ),
+                    ).otherwise(F.array().cast(T.ArrayType(VIOLATION_SCHEMA)))
                 )
         return out
 
