@@ -155,10 +155,10 @@ def run_docs_bench(n_rows: int, cores: int) -> dict:
     # warm-up execution: JIT/codegen + page cache (full job, untimed)
     materialize(observed)
 
-    # best-of-3: the sandbox has noisy neighbors; min wall is the honest
+    # best-of-5: the sandbox has noisy neighbors; min wall is the honest
     # estimate of the machine's deliverable throughput at this thread count
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         materialize(observed)
         walls.append(time.perf_counter() - t0)

@@ -53,3 +53,58 @@ def streaming_violation_counts(
         F.window(F.col(ts_col), window_duration).alias("window"),
         "violation_type",
     ).agg(F.count(F.lit(1)).alias("violation_count"))
+
+
+def stateful_host_violation_tracker(
+    stream_df: DataFrame,
+    schema: SimpleSchema,
+    *,
+    url_col: str = "url",
+    threshold: int = 10,
+    timeout_ms: int = 3_600_000,
+    **kwargs,
+) -> DataFrame:
+    """Custom stateful operator: running per-host violation totals with
+    alerting — `applyInPandasWithState` (the brief's "custom stateful
+    operators" surface).
+
+    State per host: (n_docs, n_violations). Emits one row per host per
+    micro-batch once its cumulative violation count crosses ``threshold``.
+    State expires after ``timeout_ms`` of inactivity so the map stays
+    bounded on an open-ended crawl stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import functions as F, types as T
+
+    validated = with_violations(stream_df, schema, **kwargs)
+    per_doc = validated.select(
+        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1).alias("host"),
+        F.size("violations").alias("n_violations"),
+    )
+
+    out_schema = "host string, n_docs bigint, n_violations bigint"
+    state_schema = "n_docs bigint, n_violations bigint"
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_docs, n_viol = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n_docs += len(pdf)
+            n_viol += int(pdf["n_violations"].sum())
+        state.update((n_docs, n_viol))
+        state.setTimeoutDuration(timeout_ms)
+        if n_viol >= threshold:
+            yield pd.DataFrame(
+                {"host": [key[0]], "n_docs": [n_docs], "n_violations": [n_viol]}
+            )
+
+    return per_doc.groupBy("host").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -106,3 +106,35 @@ class TestStreaming:
         # accept subset semantics but require the dominant type present
         if got:
             assert set(got) <= {"notAllowed", "minDate", "maxDate"}
+
+
+class TestStatefulStreaming:
+    def test_host_violation_tracker(self, spark, tmp_path):
+        from simpl_schema_spark.streaming import stateful_host_violation_tracker
+
+        src = str(tmp_path / "src3")
+        generate_documents(spark, 2000).write.mode("overwrite").parquet(src)
+        static_schema = spark.read.parquet(src).schema
+
+        stream = spark.readStream.schema(static_schema).parquet(src)
+        tracked = stateful_host_violation_tracker(
+            stream, documents_schema(), threshold=5
+        )
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName("host_tracker")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            "select host, max(n_violations) v, max(n_docs) d "
+            "from host_tracker group by host"
+        ).collect()
+        got = {r.host: (r.d, r.v) for r in rows}
+        # host0 holds ~30% of rows → far more than 5 violations cumulative
+        assert "host0.example" in got
+        assert got["host0.example"][1] >= 5
+        # every emitted host crossed the threshold
+        assert all(v >= 5 for (_, v) in got.values())
