@@ -45,10 +45,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across the cluster: the sf* inputs are single small
+    parquet files (one scan partition), which would serialize CPU-heavy
+    per-row operators (minhash/simhash signatures) onto one core. A 100 TB
+    table has thousands of splits; emulate that with an explicit
+    repartition — tiny shuffle, full parallelism."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ copies of doc_id<20 shifted by +10000 — deterministic
     duplicate injection so dedup queries have non-trivial output."""
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     dup = d.where(F.col("doc_id") < 20).withColumn(
         "doc_id", F.col("doc_id") + 10000
     )
@@ -244,7 +255,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (rows-only; scoring is engine-defined)."""
     from simpl_schema_spark.text import lang_id
 
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 

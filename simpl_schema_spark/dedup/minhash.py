@@ -129,9 +129,17 @@ def minhash_near_duplicates(
     of true Jaccard).
     """
     rows_per_band = num_perm // bands
-    sigs = df.where(F.col(text_col).isNotNull()).select(
+    # Materialize the shingle set in its OWN projection: the signature
+    # references it num_perm times, and inlining would recompute the
+    # normalize/tokenize/ngram pipeline once per permutation per row
+    # (Catalyst keeps multi-referenced projections separate by default —
+    # spark.sql.optimizer.collapseProjectAlwaysInline=false).
+    sets = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), k), num_perm).alias("sig"),
+        shingles(F.col(text_col), k).alias("sh"),
+    )
+    sigs = sets.select(
+        "id", minhash_signature(F.col("sh"), num_perm).alias("sig")
     ).where(F.col("sig").isNotNull())
 
     pairs = lsh_candidate_pairs(

@@ -18,14 +18,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..text.analysis import normalized_text, word_tokens
 
-__all__ = ["simhash", "hamming_distance", "simhash_near_duplicates"]
+__all__ = ["simhash", "simhash_from_hashes", "hamming_distance", "simhash_near_duplicates"]
 
 _BITS = 64
 
 
 def simhash(text: Column) -> Column:
-    """64-bit SimHash of whitespace tokens of normalized text (bigint)."""
-    hashes = F.transform(word_tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+    """64-bit SimHash of whitespace tokens of normalized text (bigint).
+
+    NOTE: references its input 129 times (2 per bit + size); call via
+    :func:`simhash_near_duplicates`-style two-phase selects so the token
+    hash array is materialized once per row, not recomputed per bit.
+    """
+    return simhash_from_hashes(
+        F.transform(word_tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+    )
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
     n = F.size(hashes)
 
     def bit(b: int) -> Column:
@@ -62,9 +72,16 @@ def simhash_near_duplicates(
     """
     chunk_bits = _BITS // bands
     mask = (1 << chunk_bits) - 1
+    token_hashes = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_tokens(normalized_text(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("th"),
+    )
     sigs = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+        token_hashes.select(
+            "id", simhash_from_hashes(F.col("th")).alias("sh")
+        )
         .where(F.col("sh").isNotNull())
     )
     chunks = F.array(
