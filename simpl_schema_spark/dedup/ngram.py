@@ -43,6 +43,9 @@ def ngram_jaccard_pairs(
         )
         .where(F.size("sh") > 0)
     )
+    # consumed three times (inverted index + both verify sides): persist so
+    # the shingle pipeline runs once
+    sets = sets.persist()
     inverted = sets.select("id", F.explode("sh").alias("g"))
     buckets = (
         inverted.groupBy("g")
