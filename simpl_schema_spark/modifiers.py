@@ -571,3 +571,112 @@ def validate_modifier_table(
         base = base.unionByName(upsert_viols)
 
     return base
+
+
+def clean_modifier_table(
+    mods: DataFrame,
+    schema: SimpleSchema,
+    *,
+    id_col: str = "doc_id",
+    filter: bool = True,  # noqa: A002
+    auto_convert: bool = True,
+    trim_strings: bool = True,
+    remove_empty_strings: bool = True,
+) -> DataFrame:
+    """clean() for modifier tables (reference clean.ts:64-147,175-187).
+
+    Per-row, one projection:
+
+    - ops whose values are never cleaned ($unset/$rename/$pull/$pop/…) pass
+      through untouched (operatorsToIgnoreValue, clean.ts:46-49)
+    - filter: rows whose generic key the schema doesn't allow are DROPPED
+      (clean.ts:80-94); $unset/$rename rows are kept regardless
+    - autoConvert: JSON scalars coerced toward the key's first type when no
+      alternative matches (string→number, number/bool→string,
+      'true'/'false'→bool; convertToProperType.ts:11-65)
+    - trimStrings: JS-whitespace trim inside JSON string values unless the
+      key has ``trim: False``
+    - removeEmptyStrings: ``$set`` of ``""`` becomes ``$unset``
+      (clean.ts:136-142); empty strings under other value-checked ops are
+      dropped rows (doc-mode remove analog)
+
+    "Empty operator removal" (clean.ts:175-187) is inherent to the long
+    format: removing the last row of an operator removes the operator.
+    """
+    from .schema.types import Boolean as BoolTok, Number as NumTok
+
+    comp = _ModifierCompiler(schema)
+    op = F.col("op")
+    key_path = F.col("key_path")
+    generic = _generic_key(key_path)
+    v = F.col("value")
+
+    ignore_value_ops = op.isin("$unset", "$rename", *OPS_SKIPPED)
+
+    # ---- filter unknown keys (keep $unset/$rename) --------------------------
+    if filter:
+        allowed_keys = set(comp.merged.keys())
+        allowed = generic.isin(*allowed_keys) if allowed_keys else F.lit(False)
+        for bb in schema.blackbox_keys():
+            allowed = allowed | generic.startswith(bb + ".")
+        # item paths (tags.0) and $each forms target the array key itself
+        mods = mods.where(allowed | op.isin("$unset", "$rename"))
+
+    # ---- per-key value cleaning ---------------------------------------------
+    cleaned = v
+    for k in comp.merged:
+        if k.endswith(".$"):
+            continue
+        alts = comp._alternatives(k)
+        if any(a.get("blackbox") is True or a.get("type") is AnyType for a in alts):
+            continue
+        first = alts[0].get("type")
+        expr = v
+        if auto_convert:
+            types = [a.get("type") for a in alts]
+            if first is String:
+                # number/bool JSON → quoted string (toString parity)
+                expr = F.when(
+                    _is_json_number(expr) | _is_json_bool(expr),
+                    F.concat(F.lit('"'), F.trim(expr), F.lit('"')),
+                ).otherwise(expr)
+            elif first in (NumTok, Integer):
+                parsed = _json_str(expr)
+                num = parsed.try_cast("double")
+                expr = F.when(
+                    _is_json_string(expr) & (F.length(parsed) > 0) & num.isNotNull(),
+                    F.when(num == F.floor(num), num.cast("long").cast("string"))
+                    .otherwise(num.cast("string")),
+                ).otherwise(expr)
+            elif first is BoolTok:
+                lowered = F.lower(_json_str(expr))
+                expr = F.when(
+                    _is_json_string(expr) & lowered.isin("true", "false"), lowered
+                ).otherwise(expr)
+        if trim_strings and not any(a.get("trim") is False for a in alts):
+            from .clean import js_trim
+
+            expr = F.when(
+                _is_json_string(expr),
+                F.concat(F.lit('"'), js_trim(_json_str(expr)), F.lit('"')),
+            ).otherwise(expr)
+        cleaned = F.when(generic == k, expr).otherwise(cleaned)
+
+    out = mods.withColumn(
+        "value", F.when(ignore_value_ops, v).otherwise(cleaned)
+    )
+
+    if remove_empty_strings:
+        is_empty_str = F.regexp_replace(F.col("value"), "\\s", "") == F.lit('""')
+        # $set '' → $unset (clean.ts:136-142); other checked ops: drop row
+        out = out.withColumn(
+            "op",
+            F.when((F.col("op") == "$set") & is_empty_str, F.lit("$unset")).otherwise(
+                F.col("op")
+            ),
+        ).where(
+            ignore_value_ops
+            | (F.col("op") == "$unset")
+            | ~is_empty_str
+        )
+    return out

@@ -251,3 +251,63 @@ class TestUpsert:
         # $set {'a.b': 'x'} on upsert ⇒ don't require 'a'
         got = run(spark, [(1, "$set", "a.b", '"x"', True)], ss)
         assert got == []
+
+
+class TestCleanModifiers:
+    def _clean(self, spark, rows, ss=None, **opts):
+        from simpl_schema_spark.modifiers import clean_modifier_table
+
+        df = spark.createDataFrame(rows, MOD_DDL)
+        out = clean_modifier_table(df, ss or schema(), **opts)
+        return sorted(
+            (r.doc_id, r.op, r.key_path, r.value) for r in out.collect()
+        )
+
+    def test_set_empty_string_becomes_unset(self, spark):
+        # {$set: {string: ''}} → {$unset: {string: ''}} (clean.tests.ts)
+        got = self._clean(spark, [(1, "$set", "optionalString", '""', False)])
+        assert got == [(1, "$unset", "optionalString", '""')]
+
+    def test_trim_inside_set_value(self, spark):
+        got = self._clean(spark, [(1, "$set", "requiredString", '"  hi  "', False)])
+        assert got == [(1, "$set", "requiredString", '"hi"')]
+
+    def test_whitespace_only_trims_then_unsets(self, spark):
+        got = self._clean(spark, [(1, "$set", "requiredString", '"   "', False)])
+        assert got == [(1, "$unset", "requiredString", '""')]
+
+    def test_autoconvert_string_to_number(self, spark):
+        got = self._clean(spark, [(1, "$set", "count", '"7"', False)])
+        assert got == [(1, "$set", "count", "7")]
+
+    def test_autoconvert_number_to_string(self, spark):
+        got = self._clean(spark, [(1, "$set", "requiredString", "5", False)])
+        assert got == [(1, "$set", "requiredString", '"5"')]
+
+    def test_filter_unknown_key_dropped(self, spark):
+        got = self._clean(spark, [
+            (1, "$set", "nope", '"x"', False),
+            (1, "$set", "count", "3", False),
+        ])
+        assert got == [(1, "$set", "count", "3")]
+
+    def test_unset_values_not_cleaned(self, spark):
+        got = self._clean(spark, [(1, "$unset", "anything", '"  x  "', False)])
+        assert got == [(1, "$unset", "anything", '"  x  "')]
+
+    def test_pull_values_not_cleaned(self, spark):
+        got = self._clean(spark, [(1, "$pull", "tags", '"  raw  "', False)])
+        assert got == [(1, "$pull", "tags", '"  raw  "')]
+
+    def test_clean_then_validate_roundtrip(self, spark):
+        from simpl_schema_spark.modifiers import (
+            clean_modifier_table,
+            validate_modifier_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "$set", "count", '" 5 "', False)], MOD_DDL
+        )
+        cleaned = clean_modifier_table(df, schema())
+        out = validate_modifier_table(cleaned, schema())
+        assert out.collect() == []
