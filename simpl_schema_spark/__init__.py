@@ -13,4 +13,26 @@ checks.
 from .errors import ErrorTypes, VIOLATION_SCHEMA  # noqa: F401
 from .schema import SimpleSchema, oneOf  # noqa: F401
 
+
+def __getattr__(name):
+    # lazy top-level API: importing the package must not require an active
+    # SparkSession, so Spark-touching modules load on first use
+    lazy = {
+        "validate": ("simpl_schema_spark.validate", "validate"),
+        "with_violations": ("simpl_schema_spark.validate", "with_violations"),
+        "violations_table": ("simpl_schema_spark.validate", "violations_table"),
+        "clean": ("simpl_schema_spark.clean", "clean"),
+        "clean_and_validate": ("simpl_schema_spark.pipeline", "clean_and_validate"),
+        "validate_modifier_table": ("simpl_schema_spark.modifiers", "validate_modifier_table"),
+        "clean_modifier_table": ("simpl_schema_spark.modifiers", "clean_modifier_table"),
+        "spark_rule": ("simpl_schema_spark.compiler", "spark_rule"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
