@@ -73,7 +73,7 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full constraint suite → violations table (V1-V7, V12/V14)."""
-    from simpl_schema_spark.validate import violations_table
+    from simpl_schema_spark.validation import violations_table
 
     return violations_table(
         _docs(spark, sf_dir), _doc_schema(), id_cols=["doc_id"]
@@ -201,7 +201,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean() pipeline (C1-C4) over dirtied documents: trim + empty-string
     removal + autoConvert stay byte-faithful."""
-    from simpl_schema_spark.clean import clean
+    from simpl_schema_spark.cleaning import clean
     from simpl_schema_spark.schema import SimpleSchema
 
     d = _docs(spark, sf_dir).select(
@@ -317,6 +317,44 @@ def q_validate_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_object_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-valued $set recursion (§2.4, reference doValidation.ts:64-70):
+    descendant keys of one $set object value are validated — child value
+    checks, required for missing/null children, keyNotInSchema for unknown
+    children."""
+    from simpl_schema_spark.modifiers import validate_modifier_table
+    from simpl_schema_spark.schema import SimpleSchema
+
+    ss = SimpleSchema(
+        {
+            "meta": {"type": dict},
+            "meta.lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
+            "meta.n": {"type": int, "min": 0, "max": _NCHARS_MAX},
+        }
+    )
+    d = _docs(spark, sf_dir)
+    # deterministic variety: doc_id%7==0 adds an undeclared child;
+    # doc_id%11==0 omits the required 'lang' child
+    val = F.concat(
+        F.lit("{"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("")
+        ).otherwise(F.concat(F.lit('"lang": "'), F.col("lang"), F.lit('", '))),
+        F.lit('"n": '),
+        F.col("n_chars").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(', "extra": 1')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    mods = d.select(
+        "doc_id",
+        F.lit("$set").alias("op"),
+        F.lit("meta").alias("key_path"),
+        val.alias("value"),
+        F.lit(False).alias("upsert"),
+    )
+    return validate_modifier_table(mods, ss).select("doc_id", "name", "type", "value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -341,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "embedding_near_dups": q_embedding_near_dups,
         "validate_modifiers": q_validate_modifiers,
+        "validate_object_set": q_validate_object_set,
     }
 
 
@@ -371,6 +410,21 @@ def oracle_sql() -> dict[str, str]:
             union all
             select doc_id, 'source', 'regEx', source
               from documents where not regexp_matches(source, '{_SOURCE_RE}')
+        """,
+        "validate_object_set": f"""
+            select doc_id, 'meta.lang' as name, 'notAllowed' as type,
+                   lang as value
+              from documents
+             where doc_id % 11 <> 0 and lang not in ({langs})
+            union all
+            select doc_id, 'meta.lang', 'required', cast(null as varchar)
+              from documents where doc_id % 11 = 0
+            union all
+            select doc_id, 'meta.n', 'maxNumber', cast(n_chars as varchar)
+              from documents where n_chars > {_NCHARS_MAX}
+            union all
+            select doc_id, 'meta.extra', 'keyNotInSchema', 'null'
+              from documents where doc_id % 7 = 0
         """,
         "validate_documents": f"""
             select doc_id, 'text' as name, 'minString' as type, text as value

@@ -17,11 +17,14 @@ from .schema import SimpleSchema, oneOf  # noqa: F401
 def __getattr__(name):
     # lazy top-level API: importing the package must not require an active
     # SparkSession, so Spark-touching modules load on first use
+    # note: the modules are named validation/cleaning (NOT validate/clean) so
+    # a submodule import can never clobber these top-level function names
     lazy = {
-        "validate": ("simpl_schema_spark.validate", "validate"),
-        "with_violations": ("simpl_schema_spark.validate", "with_violations"),
-        "violations_table": ("simpl_schema_spark.validate", "violations_table"),
-        "clean": ("simpl_schema_spark.clean", "clean"),
+        "validate": ("simpl_schema_spark.validation", "validate"),
+        "with_violations": ("simpl_schema_spark.validation", "with_violations"),
+        "violations_table": ("simpl_schema_spark.validation", "violations_table"),
+        "ValidationResult": ("simpl_schema_spark.validation", "ValidationResult"),
+        "clean": ("simpl_schema_spark.cleaning", "clean"),
         "clean_and_validate": ("simpl_schema_spark.pipeline", "clean_and_validate"),
         "validate_modifier_table": ("simpl_schema_spark.modifiers", "validate_modifier_table"),
         "clean_modifier_table": ("simpl_schema_spark.modifiers", "clean_modifier_table"),

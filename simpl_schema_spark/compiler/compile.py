@@ -35,6 +35,7 @@ Semantics parity map (reference = longshotlabs/simpl-schema):
 from __future__ import annotations
 
 import datetime
+import inspect
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any, Callable, Optional
@@ -119,24 +120,67 @@ def spark_rule(fn: Callable) -> Callable:
     return fn
 
 
+def _wants_context(fn: Callable) -> bool:
+    """True if a Python custom validator takes a (value, ctx) pair.
+
+    One-parameter validators keep the value-only fast path; two-parameter
+    ones get the reference's cross-field ValidatorContext.
+    """
+    try:
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+        ]
+    except (TypeError, ValueError):
+        return False
+    if any(p.kind == p.VAR_POSITIONAL for p in params):
+        return True
+    return len(params) >= 2
+
+
 @dataclass
 class RuleContext:
-    """Compile-time context handed to @spark_rule custom validators."""
+    """Compile-time context handed to @spark_rule custom validators.
+
+    Mirrors the reference's ValidatorContext (src/types.ts:230-240):
+    ``field``/``sibling_field`` give cross-field access — here they resolve to
+    Column expressions, so the whole rule stays JVM-side (conditionally-
+    required fields, password-match, etc. compile into the same fused
+    projection as the built-in rules).
+    """
 
     key: str                      # generic key path
     name: Column                  # concrete key path (may embed array indexes)
     definition: dict              # resolved alternative definition
     row: Optional[Column] = None  # struct of all top-level columns, if needed
 
+    def field(self, path: str) -> Column:
+        """Column for any other document key (reference this.field())."""
+        return F.col(path)
+
+    def sibling_field(self, name: str) -> Column:
+        """Column for a key sharing this key's parent (this.siblingField())."""
+        parent, _, _ = self.key.rpartition(".")
+        return F.col(f"{parent}.{name}" if parent else name)
+
 
 @dataclass
 class _PandasRule:
-    """A deferred Arrow-vectorized custom validator (row-level keys only)."""
+    """A deferred Arrow-vectorized custom validator (row-level keys only).
+
+    ``input_cols`` holds the (dotted) path of the validated leaf value;
+    ``context_cols`` — non-empty for two-argument validators — lists the
+    additional top-level columns shipped to Python as a struct so the fn's
+    context can resolve ``field()``/``sibling_field()`` lookups.
+    """
 
     key: str
     column_name: str              # output column holding error-type string
     fn: Callable                  # pd.Series -> pd.Series[str|None]
     input_cols: list[str] = field(default_factory=list)
+    context_cols: list[str] = field(default_factory=list)
     spark_type: T.DataType = field(default_factory=T.StringType)
 
 
@@ -220,6 +264,9 @@ class RuleCompiler:
         self.merged = schema.merged_schema()
         self.pandas_rules: list[_PandasRule] = []
         self._pandas_counter = 0
+        # (generic, fn) → column name: the custom tail is compiled both for
+        # the value-present and value-null branches; register one UDF only
+        self._pandas_cache: dict[tuple[str, int], str] = {}
 
     # -------------------------------------------------------------- public
 
@@ -462,11 +509,23 @@ class RuleCompiler:
                 )
             )
 
-        # value checks only when a value is present
+        # value checks only when a value is present; custom validators run on
+        # EVERY key visit, set or not (reference validateField.ts:192-226 —
+        # typeValidator/allowedValues skip internally when !isSet, custom
+        # fns receive isSet=false; conditionally-required depends on this)
         one_of = self._one_of_error(generic, value, name, dtype, alternatives, in_lambda)
+        custom_only = self._one_of_error(
+            generic, value, name, dtype, alternatives, in_lambda, custom_only=True
+        )
         if one_of is not None:
             chain.append(
-                F.when(value.isNotNull(), one_of).otherwise(_null_violation())
+                F.when(value.isNotNull(), one_of).otherwise(
+                    custom_only if custom_only is not None else _null_violation()
+                )
+            )
+        elif custom_only is not None:
+            chain.append(
+                F.when(value.isNull(), custom_only).otherwise(_null_violation())
             )
 
         if not chain:
@@ -481,12 +540,15 @@ class RuleCompiler:
         dtype: T.DataType,
         alternatives: list[dict],
         in_lambda: bool,
+        custom_only: bool = False,
     ) -> Optional[Column]:
         if any(a.get("type") is AnyType for a in alternatives):
             return None  # Any short-circuits valid (validateField.ts:174-175)
 
         errs = [
-            self._alternative_error(generic, value, name, dtype, alt, in_lambda)
+            self._alternative_error(
+                generic, value, name, dtype, alt, in_lambda, custom_only
+            )
             for alt in alternatives
         ]
         errs = [e for e in errs if e is not None]
@@ -505,13 +567,14 @@ class RuleCompiler:
         dtype: T.DataType,
         alt: dict,
         in_lambda: bool,
+        custom_only: bool = False,
     ) -> Optional[Column]:
         chain: list[Column] = []
-        type_err = self._type_error(value, name, dtype, alt)
+        type_err = None if custom_only else self._type_error(value, name, dtype, alt)
         if type_err is not None:
             chain.append(type_err)
 
-        allowed = alt.get("allowedValues")
+        allowed = None if custom_only else alt.get("allowedValues")
         if allowed is not None:
             vals = sorted(allowed) if isinstance(allowed, set) else list(allowed)
             chain.append(
@@ -561,17 +624,36 @@ class RuleCompiler:
             raise NotImplementedError(
                 f"Python custom validator on array-item key {generic!r} is not "
                 "supported inside higher-order lambdas; use @spark_rule or "
-                "validate exploded items"
+                "validate_array_items() to explode-validate-reassemble"
             )
         # Arrow-vectorized deferred rule: the validator DataFrame pass adds a
         # column with the pandas UDF result before the violations projection.
-        self._pandas_counter += 1
-        col_name = f"__custom_{self._pandas_counter}_{generic.replace('.', '_')}"
-        leaf = generic.split(".")[0]
-        self.pandas_rules.append(
-            _PandasRule(key=generic, column_name=col_name, fn=custom,
-                        input_cols=[leaf])
-        )
+        # The UDF input is the LEAF value (F.col resolves dotted struct
+        # paths); two-argument validators additionally receive a per-row
+        # context with field()/sibling_field() resolved from a shipped struct
+        # of context columns (reference ValidatorContext, src/types.ts:230-240).
+        cache_key = (generic, id(custom))
+        if cache_key in self._pandas_cache:
+            col_name = self._pandas_cache[cache_key]
+        else:
+            self._pandas_counter += 1
+            col_name = f"__custom_{self._pandas_counter}_{generic.replace('.', '_')}"
+            context_cols: list[str] = []
+            if _wants_context(custom):
+                declared = getattr(custom, "context_fields", None)
+                if declared:
+                    context_cols = list(declared)
+                else:
+                    # fn may read any field: ship all top-level data columns.
+                    # Declare fn.context_fields = [...] to keep the batch narrow.
+                    context_cols = [f.name for f in self.df_schema.fields]
+            # absent column (NullType): ship a null literal, not F.col
+            input_cols = [] if isinstance(dtype, T.NullType) else [generic]
+            self.pandas_rules.append(
+                _PandasRule(key=generic, column_name=col_name, fn=custom,
+                            input_cols=input_cols, context_cols=context_cols)
+            )
+            self._pandas_cache[cache_key] = col_name
         err_type = F.col(col_name)
         return F.when(
             err_type.isNotNull(),

@@ -26,6 +26,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..text.analysis import normalized_text, word_tokens
+from .buckets import bounded_buckets
 
 __all__ = ["shingles", "minhash_signature", "lsh_candidate_pairs", "minhash_near_duplicates"]
 
@@ -87,10 +88,10 @@ def lsh_candidate_pairs(
         .select(F.col(id_col).alias("id"), F.explode(band_structs).alias("band"))
         .select("id", "band.band_idx", "band.band_hash")
     )
-    buckets = (
-        exploded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list("id").alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    # hot band-hashes filtered out BEFORE collect_list (bounded reducer state)
+    buckets = bounded_buckets(
+        exploded, ["band_idx", "band_hash"], F.col("id"),
+        max_bucket_size=max_bucket_size, members_alias="ids",
     )
     # pairs within bucket (bounded by max_bucket_size² per bucket)
     pairs = buckets.select(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .buckets import bounded_buckets
 from .minhash import shingles
 
 __all__ = ["ngram_jaccard_pairs", "jaccard"]
@@ -34,12 +35,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_df: int = 100,
 ) -> DataFrame:
-    """Exact-Jaccard near-dup pairs ``(id_a, id_b, jaccard)`` ≥ threshold."""
+    """Exact-Jaccard near-dup pairs ``(id_a, id_b, jaccard)`` ≥ threshold.
+
+    Shingles are hashed to 64-bit longs up front: the inverted-index shuffle
+    and both verify-join payloads ship 8 bytes per shingle instead of the
+    full n-gram string, and set intersection compares longs.  Jaccard over
+    the hashed sets equals Jaccard over the string sets up to 64-bit
+    collisions (negligible for per-document set sizes).
+    """
     sets = (
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            shingles(F.col(text_col), k).alias("sh"),
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+            ).alias("sh"),
         )
         .where(F.size("sh") > 0)
     )
@@ -47,10 +57,11 @@ def ngram_jaccard_pairs(
     # the shingle pipeline runs once
     sets = sets.persist()
     inverted = sets.select("id", F.explode("sh").alias("g"))
-    buckets = (
-        inverted.groupBy("g")
-        .agg(F.collect_list("id").alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_shingle_df))
+    # hot shingles (boilerplate) are counted out BEFORE collect_list so no
+    # reducer ever buffers an unbounded id list
+    buckets = bounded_buckets(
+        inverted, ["g"], F.col("id"),
+        max_bucket_size=max_shingle_df, members_alias="ids",
     )
     pairs = (
         buckets.select(

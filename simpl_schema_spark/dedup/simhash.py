@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..text.analysis import normalized_text, word_tokens
+from .buckets import bounded_buckets
 
 __all__ = ["simhash", "simhash_from_hashes", "hamming_distance", "simhash_near_duplicates"]
 
@@ -36,19 +37,41 @@ def simhash(text: Column) -> Column:
 
 
 def simhash_from_hashes(hashes: Column) -> Column:
+    """Single-pass fingerprint: ONE ``F.aggregate`` traversal of the token
+    hashes accumulating all 64 bit counters (array<long>), then one zip to
+    assemble the word — replaces the 64×``F.filter`` unrolled loop, which
+    traversed the hash array once per bit."""
     n = F.size(hashes)
-
-    def bit(b: int) -> Column:
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        # Σ±1 > 0  ⇔  ones > n/2  (strict, ties → 0 bit)
-        return F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    acc = F.lit(0).cast("long")
-    for b in range(_BITS):
-        acc = acc.bitwiseOR(F.shiftleft(bit(b), b))
-    return F.when(n > 0, acc)
+    bit_idx = F.sequence(F.lit(0), F.lit(_BITS - 1))
+    # the Python shiftright/shiftleft wrappers demand int shift amounts;
+    # call_function reaches the SQL expressions, which take Columns
+    shr = lambda x, b: F.call_function("shiftright", x, b)  # noqa: E731
+    shl = lambda x, b: F.call_function("shiftleft", x, b)  # noqa: E731
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), _BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda b: shr(h, b).bitwiseAND(F.lit(1))),
+            lambda c, one: c + one,
+        ),
+    )
+    # Σ±1 > 0  ⇔  ones > n/2  (strict, ties → 0 bit)
+    word = F.aggregate(
+        F.zip_with(
+            counts,
+            bit_idx,
+            lambda ones, b: shl(
+                F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                b,
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return F.when(n > 0, word)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -83,6 +106,9 @@ def simhash_near_duplicates(
             "id", simhash_from_hashes(F.col("th")).alias("sh")
         )
         .where(F.col("sh").isNotNull())
+        # consumed twice by the bounded bucket builder (count + collect):
+        # persist so the tokenize+fingerprint pipeline runs once
+        .persist()
     )
     chunks = F.array(
         *[
@@ -98,10 +124,10 @@ def simhash_near_duplicates(
     exploded = sigs.select("id", "sh", F.explode(chunks).alias("c")).select(
         "id", "sh", "c.chunk_idx", "c.chunk_val"
     )
-    buckets = (
-        exploded.groupBy("chunk_idx", "chunk_val")
-        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
-        .where((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
+    # hot chunks filtered out BEFORE collect_list (bounded reducer state)
+    buckets = bounded_buckets(
+        exploded, ["chunk_idx", "chunk_val"], F.struct("id", "sh"),
+        max_bucket_size=max_bucket_size,
     )
     pairs = buckets.select(
         F.explode(

@@ -35,7 +35,7 @@ from typing import Iterable, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schema.schema import SimpleSchema
-from .validate import with_violations
+from .validation import with_violations
 
 __all__ = ["PartitionedValidationRun", "run_partitioned_validation"]
 
@@ -90,6 +90,13 @@ def run_partitioned_validation(
     if partition_expr is None:
         partition_expr = F.to_date(F.col("warc_ts")).cast("string")
 
+    # The partition key is usually DERIVED (e.g. date(warc_ts)) and must not
+    # reach the validator — it isn't part of the user's schema and would emit
+    # a spurious keyNotInSchema row for every document.  Track whether we
+    # injected it so we can drop it before validation and re-attach the value
+    # as a literal on the output.  (If the caller partitions by a real data
+    # column, it stays and is validated like any other column.)
+    injected = partition_col not in df.columns
     keyed = df.withColumn(partition_col, partition_expr)
     all_parts = [
         r[0]
@@ -105,10 +112,13 @@ def run_partitioned_validation(
     for part in pending:
         t0 = time.perf_counter()
         slice_df = keyed.where(F.col(partition_col) == part)
-        validated = with_violations(slice_df, schema.omit(partition_col) if partition_col in schema else schema)
+        if injected:
+            slice_df = slice_df.drop(partition_col)
+        validated = with_violations(slice_df, schema)
+        part_val = F.lit(part).alias(partition_col) if injected else F.col(partition_col)
         viols = validated.select(
             *id_cols,
-            F.col(partition_col),
+            part_val,
             F.explode("violations").alias("violation"),
         ).select(*id_cols, partition_col, "violation.*")
 

@@ -107,6 +107,14 @@ def _json_num(v: Column) -> Column:
     return F.from_json(F.concat(F.lit('{"v":'), v, F.lit("}")), "v double").getField("v")
 
 
+def _json_quote(s: Column) -> Column:
+    """Encode a decoded string back to a JSON string token with proper
+    escaping (quotes, backslashes, control chars): to_json(array(s)) minus
+    the surrounding brackets."""
+    encoded = F.to_json(F.array(s))
+    return F.substring(encoded, 2, F.length(encoded) - 2)
+
+
 def _json_date(v: Column) -> Column:
     iso = F.from_json(v, "`$date` string").getField("$date")
     return F.coalesce(
@@ -395,6 +403,111 @@ def _each_elements_as_json(v: Column, comp: "_ModifierCompiler", item_key: str) 
     )
 
 
+def _expand_object_set_rows(
+    mods: DataFrame, comp: "_ModifierCompiler", schema: SimpleSchema, id_col: str
+) -> DataFrame:
+    """Recursively expand object-valued ``$set``/``$setOnInsert`` rows into
+    child rows so descendant keys flow through the normal per-key rules
+    (reference doValidation.ts:64-70 → validateField object recursion).
+
+    For each declared non-blackbox Object key ``k``, rows
+    ``(id, $set, k, {json object})`` yield:
+
+    - one child row per DECLARED child; absent or explicit-null children get
+      value ``'null'``, so required fires through the existing $set-null rule
+      (missing non-optional children of a wholesale-replaced object ARE
+      required errors — validateField.ts:323-345 iterates the key union)
+    - one row per PRESENT-but-undeclared child, which the existing
+      KEY_NOT_IN_SCHEMA rule flags
+
+    Child JSON is extracted with variant functions (``try_variant_get`` +
+    ``to_json``), which preserve JSON token types exactly (strings stay
+    quoted, numbers bare) — pure JVM expressions, one projection per declared
+    object key, no shuffle.  Nested declared objects expand transitively
+    (keys processed parents-first).  Returns ``mods`` ∪ expanded rows.
+    """
+    blackbox = set(schema.blackbox_keys())
+    object_keys: list[str] = []
+    for k, d in comp.merged.items():
+        if ".$" in k or k in blackbox:
+            continue
+        alts = comp._alternatives(k)
+        if any(
+            isinstance(a.get("type"), SimpleSchema) or a.get("type") is ObjectType
+            for a in alts
+        ) and not any(a.get("blackbox") is True for a in alts):
+            object_keys.append(k)
+    if not object_keys:
+        return mods
+
+    struct_t = "key_path string, value string"
+    all_rows = mods
+    for k in sorted(object_keys, key=lambda s: s.count(".")):
+        prefix = f"{k}."
+        declared = sorted(
+            {
+                c[len(prefix):].split(".")[0]
+                for c in comp.merged
+                if c.startswith(prefix)
+            }
+        )
+        v = F.col("value")
+        rows_k = all_rows.where(
+            (_generic_key(F.col("key_path")) == k)
+            & F.col("op").isin(*OPS_SET)
+            & _is_json_object(v)
+            & ~_is_ext_date(v)
+        )
+        var = F.parse_json(v)
+        children = [
+            F.struct(
+                F.concat(F.col("key_path"), F.lit("." + n)).alias("key_path"),
+                F.coalesce(
+                    F.to_json(F.try_variant_get(var, f"$['{n}']", "variant")),
+                    F.lit("null"),
+                ).alias("value"),
+            )
+            for n in declared
+        ]
+        declared_arr = (
+            F.array(*[F.lit(n) for n in declared])
+            if declared
+            else F.array().cast("array<string>")
+        )
+        unknown = F.transform(
+            F.coalesce(
+                F.array_except(F.json_object_keys(v), declared_arr),
+                F.array().cast("array<string>"),
+            ),
+            lambda nm: F.struct(
+                F.concat(F.col("key_path"), F.lit("."), nm).alias("key_path"),
+                F.lit("null").alias("value"),
+            ),
+        )
+        declared_arr_col = (
+            F.array(*children)
+            if children
+            else F.array().cast(f"array<struct<{struct_t}>>")
+        )
+        expanded = (
+            rows_k.select(
+                F.col(id_col),
+                F.col("op"),
+                F.explode(F.concat(declared_arr_col, unknown)).alias("c"),
+                F.col("upsert"),
+            )
+            .select(
+                id_col,
+                "op",
+                F.col("c.key_path").alias("key_path"),
+                F.col("c.value").alias("value"),
+                "upsert",
+            )
+        )
+        all_rows = all_rows.unionByName(expanded.select(*all_rows.columns))
+    return all_rows
+
+
 def validate_modifier_table(
     mods: DataFrame,
     schema: SimpleSchema,
@@ -404,6 +517,7 @@ def validate_modifier_table(
     """Violations table ``(id, name, type, value…)`` for a long-format
     modifier table ``(id, op, key_path, value, upsert)``."""
     comp = _ModifierCompiler(schema)
+    mods = _expand_object_set_rows(mods, comp, schema, id_col)
     op = F.col("op")
     key_path = F.col("key_path")
     v = F.col("value")
@@ -533,6 +647,13 @@ def validate_modifier_table(
         set_rows = mods.where(
             F.col("upsert") & F.col("op").isin(*OPS_SET)
         )
+        # keys explicitly set — even to null — are never INJECTED (an explicit
+        # null already fires required through the per-row rule; injecting too
+        # would duplicate it); ancestor-creating credit needs a real value
+        present_any = (
+            set_rows.select(F.col(id_col), _generic_key(F.col("key_path")).alias("k"))
+            .distinct()
+        )
         present = (
             set_rows.where(~_is_json_null(F.col("value")))
             .select(F.col(id_col), _generic_key(F.col("key_path")).alias("k"))
@@ -558,7 +679,7 @@ def validate_modifier_table(
                     ),
                 )
             ).alias("k")
-        ).distinct()
+        ).distinct().unionByName(present_any).distinct()
         missing = needed.join(satisfied, on=[id_col, "k"], how="left_anti")
         upsert_viols = missing.select(
             F.col(id_col),
@@ -654,11 +775,13 @@ def clean_modifier_table(
                     _is_json_string(expr) & lowered.isin("true", "false"), lowered
                 ).otherwise(expr)
         if trim_strings and not any(a.get("trim") is False for a in alts):
-            from .clean import js_trim
+            from .cleaning import js_trim
 
+            # decode → trim → RE-ENCODE with proper JSON escaping (a naive
+            # quote wrap corrupts values containing '"' or '\')
             expr = F.when(
                 _is_json_string(expr),
-                F.concat(F.lit('"'), js_trim(_json_str(expr)), F.lit('"')),
+                _json_quote(js_trim(_json_str(expr))),
             ).otherwise(expr)
         cleaned = F.when(generic == k, expr).otherwise(cleaned)
 

@@ -17,11 +17,11 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from .clean import clean_with_info
+from .cleaning import clean_with_info
 from .compiler.compile import RuleCompiler, _stringify, _token_name, violation
 from .errors import ErrorTypes, VIOLATION_SCHEMA
 from .schema.schema import SimpleSchema
-from .validate import _apply_pandas_rules
+from .validation import _apply_pandas_rules
 
 __all__ = ["clean_and_validate"]
 

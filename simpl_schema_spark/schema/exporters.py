@@ -131,7 +131,7 @@ def to_spark_struct(ss: SimpleSchema) -> T.StructType:
     for key in ss.object_keys():
         dt = _spark_type(ss, key)
         nullable = ss.get_definition_raw(key).get("optional") is not False
-        fields.append(T.StructField(key, dt, True))
+        fields.append(T.StructField(key, dt, nullable))
     return T.StructType(fields)
 
 

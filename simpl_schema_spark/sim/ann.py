@@ -157,7 +157,9 @@ def embedding_near_duplicates(
         random_hyperplane_signature(
             F.col(vec_col), dim, n_planes=n_planes, seed=seed
         ).alias("sig"),
-    )
+        # consumed twice by the bounded bucket builder (count + collect):
+        # persist so the n_planes dot products run once per vector
+    ).persist()
     chunks = F.array(
         *[
             F.struct(
@@ -170,10 +172,13 @@ def embedding_near_duplicates(
     exploded = sigs.select("id", "vec", F.explode(chunks).alias("c")).select(
         "id", "vec", "c.chunk_idx", "c.chunk_val"
     )
-    buckets = (
-        exploded.groupBy("chunk_idx", "chunk_val")
-        .agg(F.collect_list(F.struct("id", "vec")).alias("members"))
-        .where((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
+    # hot chunks filtered out BEFORE collect_list (bounded reducer state);
+    # members carry full vectors, so an unbounded buffer would be fatal here
+    from ..dedup.buckets import bounded_buckets
+
+    buckets = bounded_buckets(
+        exploded, ["chunk_idx", "chunk_val"], F.struct("id", "vec"),
+        max_bucket_size=max_bucket_size,
     )
     pairs = (
         buckets.select(

@@ -14,7 +14,7 @@ from typing import Iterable, Optional
 from pyspark.sql import DataFrame, functions as F
 
 from .schema.schema import SimpleSchema
-from .validate import with_violations
+from .validation import with_violations
 
 __all__ = ["validate_stream", "streaming_violation_counts"]
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from simpl_schema_spark.validate import with_violations
+from simpl_schema_spark.validation import with_violations
 
 
 def run_validation(spark, schema, ddl, rows, **kwargs):

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from simpl_schema_spark.schema import SimpleSchema
-from simpl_schema_spark.clean import clean, js_trim, spark_auto_value
+from simpl_schema_spark.cleaning import clean, js_trim, spark_auto_value
 from simpl_schema_spark.pipeline import clean_and_validate
 
 UTC = datetime.timezone.utc

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from simpl_schema_spark.datagen import documents_schema, extract_text, generate_documents
 from simpl_schema_spark.pipeline import clean_and_validate
-from simpl_schema_spark.validate import with_violations
+from simpl_schema_spark.validation import with_violations
 
 N = 2000
 

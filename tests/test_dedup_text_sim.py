@@ -251,3 +251,49 @@ class TestMultimodal:
         )
         out = sample_video_frames(df, n_frames=3).collect()
         assert [(r.id, r.frame_idx) for r in out] == [(7, 0), (7, 1), (7, 2)]
+
+
+class TestBoundedBuckets:
+    """Hot-bucket regression (round 2): a key duplicated far beyond the cap
+    must be counted out BEFORE collect_list — the pipeline completes with
+    bounded reducer state and the hot bucket contributes no candidates,
+    while genuine near-dups elsewhere still surface."""
+
+    def test_hot_bucket_excluded_but_real_dups_found(self, spark):
+        hot = [(i, "boilerplate navigation menu copyright footer terms")
+               for i in range(100, 400)]  # 300 identical docs, one hot bucket
+        rows = [(1, DOC), (2, DOC), (3, DOC_NEAR)] + hot
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, max_shingle_df=50
+        ).collect()
+        ids = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in ids and (1, 3) in ids
+        # nothing from the hot cluster (every one of its shingles > cap)
+        assert all(a < 100 and b < 100 for a, b in ids)
+
+    def test_bounded_buckets_matches_naive(self, spark):
+        from simpl_schema_spark.dedup.buckets import bounded_buckets
+
+        df = spark.createDataFrame(
+            [(k, i) for k in ("a", "b", "c") for i in range(ord(k) - 96)],
+            "k string, v int",
+        )
+        got = {
+            (r.k, tuple(sorted(r.ids)))
+            for r in bounded_buckets(
+                df, ["k"], F.col("v"), max_bucket_size=2, members_alias="ids"
+            ).collect()
+        }
+        # a:1 member (dropped, < min 2), b:2 (kept), c:3 (dropped, > max 2)
+        assert got == {("b", (0, 1))}
+
+    def test_minhash_hot_bucket(self, spark):
+        hot = [(i, "same page same page same page same page") for i in range(100, 300)]
+        rows = [(1, DOC), (2, DOC)] + hot
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = minhash_near_duplicates(
+            df, "doc_id", "text", threshold=0.9, max_bucket_size=50
+        ).collect()
+        ids = {(r.id_a, r.id_b) for r in pairs}
+        assert ids == {(1, 2)}

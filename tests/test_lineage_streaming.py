@@ -71,7 +71,7 @@ class TestStreaming:
         q.awaitTermination(120)
         got = spark.sql("select sum(n) s, count(*) c from v_stream").collect()[0]
         # must equal the batch result on the same data
-        from simpl_schema_spark.validate import with_violations
+        from simpl_schema_spark.validation import with_violations
 
         batch = (
             with_violations(spark.read.parquet(src), documents_schema())

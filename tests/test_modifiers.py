@@ -311,3 +311,76 @@ class TestCleanModifiers:
         cleaned = clean_modifier_table(df, schema())
         out = validate_modifier_table(cleaned, schema())
         assert out.collect() == []
+
+
+class TestObjectValuedSet:
+    """Object-valued $set recursion (reference doValidation.ts:64-70 →
+    validateField object recursion): descendant keys of the object value are
+    validated; missing non-optional children fire required; unknown present
+    children fire keyNotInSchema."""
+
+    def _schema(self):
+        return SimpleSchema(
+            {
+                "a": {"type": dict},
+                "a.b": str,
+                "a.n": {"type": int, "optional": True, "max": 10},
+                "a.c": {"type": dict, "optional": True},
+                "a.c.d": {"type": str, "max": 3},
+            }
+        )
+
+    def test_valid_object_set(self, spark):
+        assert run(spark, [(1, "$set", "a", '{"b": "x"}', False)], self._schema()) == []
+
+    def test_child_value_checked(self, spark):
+        got = run(spark, [(1, "$set", "a", '{"b": "x", "n": 99}', False)], self._schema())
+        assert got == [(1, "a.n", "maxNumber")]
+
+    def test_child_wrong_type(self, spark):
+        got = run(spark, [(1, "$set", "a", '{"b": 5}', False)], self._schema())
+        assert got == [(1, "a.b", "expectedType")]
+
+    def test_missing_required_child(self, spark):
+        got = run(spark, [(1, "$set", "a", '{"n": 3}', False)], self._schema())
+        assert got == [(1, "a.b", "required")]
+
+    def test_explicit_null_required_child(self, spark):
+        got = run(spark, [(1, "$set", "a", '{"b": null}', False)], self._schema())
+        assert got == [(1, "a.b", "required")]
+
+    def test_unknown_child_flagged(self, spark):
+        got = run(spark, [(1, "$set", "a", '{"b": "x", "zzz": 1}', False)], self._schema())
+        assert got == [(1, "a.zzz", "keyNotInSchema")]
+
+    def test_nested_object_recursion(self, spark):
+        # a.c present as object → its children validate (two levels deep)
+        got = run(
+            spark,
+            [(1, "$set", "a", '{"b": "x", "c": {"d": "toolong"}}', False)],
+            self._schema(),
+        )
+        assert got == [(1, "a.c.d", "maxString")]
+
+    def test_nested_object_missing_required_grandchild(self, spark):
+        got = run(
+            spark, [(1, "$set", "a", '{"b": "x", "c": {}}', False)], self._schema()
+        )
+        assert got == [(1, "a.c.d", "required")]
+
+    def test_blackbox_object_not_recursed(self, spark):
+        ss = SimpleSchema({"meta": {"type": dict, "blackbox": True, "optional": True}})
+        assert run(spark, [(1, "$set", "meta", '{"anything": [1,2]}', False)], ss) == []
+
+    def test_upsert_no_duplicate_required_on_explicit_null(self, spark):
+        # explicit null under upsert: required exactly ONCE (per-row rule),
+        # not injected a second time
+        got = run(spark, [(1, "$set", "requiredString", "null", True)])
+        # 'count' (also non-optional, never set) is injected; requiredString
+        # must appear exactly once
+        assert got == [(1, "count", "required"), (1, "requiredString", "required")]
+
+    def test_object_set_satisfies_upsert_children(self, spark):
+        ss = SimpleSchema({"a": {"type": dict}, "a.b": str})
+        got = run(spark, [(1, "$set", "a", '{"b": "x"}', True)], ss)
+        assert got == []
