@@ -355,6 +355,38 @@ def q_validate_object_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_modifier_table(mods, ss).select("doc_id", "name", "type", "value")
 
 
+def q_validate_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON document mode (reference validateField.ts:262-279):
+    per-row key scan over a heterogeneous json_blob column — required,
+    type conformance, value rules, keyNotInSchema all from JSON text."""
+    from simpl_schema_spark.jsondoc import validate_json_column
+    from simpl_schema_spark.schema import SimpleSchema
+
+    ss = SimpleSchema(
+        {
+            "lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
+            "n": {"type": int, "min": 0, "max": _NCHARS_MAX},
+        }
+    )
+    d = _docs(spark, sf_dir)
+    # deterministic heterogeneity: %7 adds an unknown key, %11 omits required
+    # lang, %13 makes n a wrong-typed string
+    blob = F.concat(
+        F.lit("{"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit('"lang": "'), F.col("lang"), F.lit('", '))
+        ),
+        F.lit('"n": '),
+        F.when(F.col("doc_id") % 13 == 0, F.lit('"oops"')).otherwise(
+            F.col("n_chars").cast("string")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(', "extra": 1')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    docs = d.select("doc_id", blob.alias("json_blob"))
+    return validate_json_column(docs, ss).select("doc_id", "name", "type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -380,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "validate_modifiers": q_validate_modifiers,
         "validate_object_set": q_validate_object_set,
+        "validate_json_docs": q_validate_json_docs,
     }
 
 
@@ -424,6 +457,24 @@ def oracle_sql() -> dict[str, str]:
               from documents where n_chars > {_NCHARS_MAX}
             union all
             select doc_id, 'meta.extra', 'keyNotInSchema', 'null'
+              from documents where doc_id % 7 = 0
+        """,
+        "validate_json_docs": f"""
+            select doc_id, 'lang' as name, 'required' as type
+              from documents where doc_id % 11 = 0
+            union all
+            select doc_id, 'lang', 'notAllowed'
+              from documents
+             where doc_id % 11 <> 0 and lang not in ({langs})
+            union all
+            select doc_id, 'n', 'expectedType'
+              from documents where doc_id % 13 = 0
+            union all
+            select doc_id, 'n', 'maxNumber'
+              from documents
+             where doc_id % 13 <> 0 and n_chars > {_NCHARS_MAX}
+            union all
+            select doc_id, 'extra', 'keyNotInSchema'
               from documents where doc_id % 7 = 0
         """,
         "validate_documents": f"""

@@ -337,14 +337,137 @@ def _convert(
     return None
 
 
+class PythonAutoValueContext:
+    """Per-row context for opaque Python autoValue functions (the pandas-UDF
+    fallback) — mirrors the reference's AutoValueRunner context
+    (src/clean/AutoValueRunner.ts:42-147): ``value``, ``is_set``,
+    ``field(path)``, ``sibling_field(name)``, ``unset()``.
+
+    Return ``ctx.UNCHANGED`` (or simply don't return) to leave the value as
+    is; return any other value (including ``None``) to set it; call
+    ``ctx.unset()`` to remove the value (NULL in columnar form).
+    """
+
+    UNCHANGED = object()
+
+    __slots__ = ("key", "value", "row", "_unset")
+
+    def __init__(self, key: str, value: Any, row: dict):
+        self.key = key
+        self.value = value
+        self.row = row
+        self._unset = False
+
+    @property
+    def is_set(self) -> bool:
+        return self.value is not None
+
+    def unset(self) -> None:
+        self._unset = True
+
+    def field(self, path: str) -> Any:
+        if path in self.row:
+            return self.row[path]
+        cur: Any = self.row
+        for seg in path.split("."):
+            if cur is None:
+                return None
+            cur = cur.get(seg) if isinstance(cur, dict) else getattr(cur, seg, None)
+        return cur
+
+    def sibling_field(self, name: str) -> Any:
+        parent, _, _ = self.key.rpartition(".")
+        return self.field(f"{parent}.{name}" if parent else name)
+
+
+def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame:
+    """Opaque Python autoValue via ONE Arrow-batched pandas UDF (slow path;
+    prefer @spark_auto_value expressions).  The UDF returns the column's
+    existing Spark type."""
+    import pandas as pd
+
+    dtype = df.schema
+    for seg in key.split("."):
+        dtype = dtype[seg].dataType if isinstance(dtype, T.StructType) else dtype
+    declared = getattr(fn, "context_fields", None)
+    ctx_cols = list(declared) if declared else list(df.columns)
+    ctx_cols = [c for c in ctx_cols if not c.startswith("__")]
+
+    def _apply(values, ctx_rows):
+        out = []
+        for v, row in zip(values, ctx_rows.to_dict("records")):
+            ctx = PythonAutoValueContext(key, v, row)
+            res = fn(ctx)
+            if ctx._unset:
+                # this.unset() → value removed (NULL in columnar form)
+                out.append(None)
+            elif res is None or res is PythonAutoValueContext.UNCHANGED:
+                # reference: `return undefined` = no change; Python's bare
+                # return is None — to set SQL NULL, call ctx.unset()
+                out.append(v)
+            else:
+                out.append(res)
+        return pd.Series(out, dtype=object)
+
+    udf = F.pandas_udf(_apply, dtype)
+    ctx_struct = F.struct(*[F.col(c).alias(c) for c in ctx_cols])
+    return _set_path(df, key, lambda c: udf(c, ctx_struct))
+
+
+def _array_item_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame:
+    """Array-position autoValue write-back (getPositionsForAutoValue.ts:43-148)
+    for @spark_auto_value expression fns on ``arr.$`` / ``arr.$.field`` keys:
+    ``F.transform`` rebuilds each element (struct rebuilt via withField)."""
+    head, _, rest = key.partition(".$")
+    rest = rest.lstrip(".")
+    if "$" in rest:
+        raise NotImplementedError(
+            f"autoValue on doubly-nested array key {key!r} is not supported"
+        )
+    top = head.split(".")[0]
+    if top not in df.columns:
+        return df
+
+    def per_item(x: Column) -> Column:
+        ctx = AutoValueContext(key, x.getField(rest) if rest else x, df)
+        new_val = fn(ctx)
+        if new_val is None:
+            return x
+        return x.withField(rest, new_val) if rest else new_val
+
+    return _set_path(
+        df, head, lambda arr: F.when(arr.isNotNull(), F.transform(arr, per_item))
+    )
+
+
 def _apply_auto_values(df: DataFrame, schema: SimpleSchema) -> DataFrame:
-    """defaultValue + @spark_auto_value functions, parents-first by dot-depth,
-    stable within depth (src/clean/setAutoValues.ts:15-36)."""
+    """defaultValue + autoValue functions, parents-first by dot-depth,
+    stable within depth (src/clean/setAutoValues.ts:15-36).
+
+    Dispatch per fn: @spark_auto_value → Column expression (fast path,
+    fused into the projection); array-position keys → F.transform
+    write-back; anything else → Arrow-batched pandas UDF with a per-row
+    context (field/sibling_field/unset)."""
     avs = schema.auto_value_functions()
     avs.sort(key=lambda kv: kv[0].count("."))
     for key, fn in avs:
-        if "$" in key:
-            continue  # array-position autoValues: transform path, round 2
+        if ".$" in key:
+            if getattr(fn, "_is_spark_auto_value", False):
+                df = _array_item_auto_value(df, key, fn)
+            elif getattr(fn, "is_default", False):
+                default = getattr(fn, "default_value", None)
+
+                @spark_auto_value
+                def _fill(ctx, d=default):
+                    return F.coalesce(ctx.value, F.lit(d))
+
+                df = _array_item_auto_value(df, key, _fill)
+            else:
+                raise NotImplementedError(
+                    f"Python autoValue on array-item key {key!r}: use "
+                    "@spark_auto_value (expression) form"
+                )
+            continue
         top = key.split(".")[0]
         if top not in df.columns:
             continue
@@ -356,6 +479,8 @@ def _apply_auto_values(df: DataFrame, schema: SimpleSchema) -> DataFrame:
             new_val = fn(ctx)
             if new_val is not None:
                 df = _set_path(df, key, lambda c, nv=new_val: nv)
+        else:
+            df = _apply_python_auto_value(df, key, fn)
     return df
 
 

@@ -182,6 +182,10 @@ class _PandasRule:
     input_cols: list[str] = field(default_factory=list)
     context_cols: list[str] = field(default_factory=list)
     spark_type: T.DataType = field(default_factory=T.StringType)
+    # array-item rules: the UDF takes the WHOLE array column and returns
+    # array<string> (error type per element) — no explode, no shuffle
+    elementwise: bool = False
+    item_subpath: str = ""        # path inside each element ('' = the element)
 
 
 _NUMERIC_TYPES = (
@@ -267,6 +271,10 @@ class RuleCompiler:
         # (generic, fn) → column name: the custom tail is compiled both for
         # the value-present and value-null branches; register one UDF only
         self._pandas_cache: dict[tuple[str, int], str] = {}
+        # stack of (item_generic, index Column) while compiling inside
+        # array-item lambdas — lets Python custom validators on item keys
+        # resolve to elementwise pandas rules
+        self._lambda_frames: list[tuple[str, Column]] = []
 
     # -------------------------------------------------------------- public
 
@@ -454,14 +462,18 @@ class RuleCompiler:
 
         def per_item(x: Column, i: Column) -> Column:
             item_name = F.concat(arr_name, F.lit("."), i.cast("string"))
-            item_arrays = self._compile_key(
-                item_generic,
-                x,
-                item_name,
-                item_dtype,
-                opt_gate=x.isNotNull(),
-                in_lambda=True,
-            )
+            self._lambda_frames.append((item_generic, i))
+            try:
+                item_arrays = self._compile_key(
+                    item_generic,
+                    x,
+                    item_name,
+                    item_dtype,
+                    opt_gate=x.isNotNull(),
+                    in_lambda=True,
+                )
+            finally:
+                self._lambda_frames.pop()
             if not item_arrays:
                 return F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
             return F.array_compact(F.flatten(F.array(*item_arrays)))
@@ -602,6 +614,18 @@ class RuleCompiler:
             return None
         return chain[0] if len(chain) == 1 else F.coalesce(*chain)
 
+    def _context_cols_for(self, custom: Callable) -> list[str]:
+        """Columns shipped as the cross-field context struct for a
+        two-argument Python validator; empty for value-only fns."""
+        if not _wants_context(custom):
+            return []
+        declared = getattr(custom, "context_fields", None)
+        if declared:
+            return list(declared)
+        # fn may read any field: ship all top-level data columns.
+        # Declare fn.context_fields = [...] to keep the batch narrow.
+        return [f.name for f in self.df_schema.fields]
+
     def _custom_error(
         self,
         generic: str,
@@ -621,11 +645,49 @@ class RuleCompiler:
             ).otherwise(_null_violation())
 
         if in_lambda:
-            raise NotImplementedError(
-                f"Python custom validator on array-item key {generic!r} is not "
-                "supported inside higher-order lambdas; use @spark_rule or "
-                "validate_array_items() to explode-validate-reassemble"
-            )
+            # Array-item Python validator (validateField.ts:293-306): one
+            # Arrow-batched UDF over the WHOLE array column returns an
+            # error-type per element; the lambda picks its entry by index —
+            # no explode, no shuffle, violations keep concrete-index names.
+            if len(self._lambda_frames) != 1:
+                raise NotImplementedError(
+                    f"Python custom validator on doubly-nested array key "
+                    f"{generic!r}; use @spark_rule (expression) form"
+                )
+            item_generic, idx = self._lambda_frames[-1]
+            array_path = item_generic[: -len(".$")]
+            if "$" in array_path:
+                raise NotImplementedError(
+                    f"Python custom validator under nested arrays "
+                    f"({generic!r}); use @spark_rule"
+                )
+            cache_key = (generic, id(custom))
+            if cache_key in self._pandas_cache:
+                col_name = self._pandas_cache[cache_key]
+            else:
+                self._pandas_counter += 1
+                col_name = (
+                    f"__custom_{self._pandas_counter}_"
+                    f"{generic.replace('.', '_').replace('$', 'I')}"
+                )
+                context_cols = self._context_cols_for(custom)
+                self.pandas_rules.append(
+                    _PandasRule(
+                        key=generic,
+                        column_name=col_name,
+                        fn=custom,
+                        input_cols=[array_path],
+                        context_cols=context_cols,
+                        elementwise=True,
+                        item_subpath=generic[len(item_generic):].lstrip("."),
+                    )
+                )
+                self._pandas_cache[cache_key] = col_name
+            err_type = F.get(F.col(col_name), idx)
+            return F.when(
+                err_type.isNotNull(),
+                violation(name, err_type, value=_stringify(value, dtype)),
+            ).otherwise(_null_violation())
         # Arrow-vectorized deferred rule: the validator DataFrame pass adds a
         # column with the pandas UDF result before the violations projection.
         # The UDF input is the LEAF value (F.col resolves dotted struct
@@ -638,20 +700,12 @@ class RuleCompiler:
         else:
             self._pandas_counter += 1
             col_name = f"__custom_{self._pandas_counter}_{generic.replace('.', '_')}"
-            context_cols: list[str] = []
-            if _wants_context(custom):
-                declared = getattr(custom, "context_fields", None)
-                if declared:
-                    context_cols = list(declared)
-                else:
-                    # fn may read any field: ship all top-level data columns.
-                    # Declare fn.context_fields = [...] to keep the batch narrow.
-                    context_cols = [f.name for f in self.df_schema.fields]
             # absent column (NullType): ship a null literal, not F.col
             input_cols = [] if isinstance(dtype, T.NullType) else [generic]
             self.pandas_rules.append(
                 _PandasRule(key=generic, column_name=col_name, fn=custom,
-                            input_cols=input_cols, context_cols=context_cols)
+                            input_cols=input_cols,
+                            context_cols=self._context_cols_for(custom))
             )
             self._pandas_cache[cache_key] = col_name
         err_type = F.col(col_name)

@@ -703,6 +703,7 @@ def clean_modifier_table(
     auto_convert: bool = True,
     trim_strings: bool = True,
     remove_empty_strings: bool = True,
+    get_auto_values: bool = True,
 ) -> DataFrame:
     """clean() for modifier tables (reference clean.ts:64-147,175-187).
 
@@ -720,6 +721,10 @@ def clean_modifier_table(
     - removeEmptyStrings: ``$set`` of ``""`` becomes ``$unset``
       (clean.ts:136-142); empty strings under other value-checked ops are
       dropped rows (doc-mode remove analog)
+    - getAutoValues: for upsert documents, every defaultValue key not
+      referenced by any operator gains a ``$setOnInsert`` row
+      (getDefaultAutoValueFunction, SimpleSchema.ts:1148-1167; tested by
+      test/clean/defaultValue.tests.ts upsert cases)
 
     "Empty operator removal" (clean.ts:175-187) is inherent to the long
     format: removing the last row of an operator removes the operator.
@@ -802,4 +807,43 @@ def clean_modifier_table(
             | (F.col("op") == "$unset")
             | ~is_empty_str
         )
+
+    if get_auto_values:
+        defaults = [
+            (k, _default_as_json(getattr(fn, "default_value", None)))
+            for k, fn in schema.auto_value_functions()
+            if getattr(fn, "is_default", False) and "$" not in k
+        ]
+        if defaults:
+            spark = mods.sparkSession
+            upsert_docs = out.where(F.col("upsert")).select(id_col).distinct()
+            keys_df = spark.createDataFrame(defaults, "key_path string, value string")
+            # a key referenced by ANY operator is `isSet` → no default
+            # (AutoValueRunner.ts:57-58 doneKeys / isSet guard)
+            referenced = out.select(
+                F.col(id_col), _generic_key(F.col("key_path")).alias("key_path")
+            ).distinct()
+            missing = (
+                upsert_docs.crossJoin(F.broadcast(keys_df))
+                .join(referenced, [id_col, "key_path"], "left_anti")
+            )
+            out = out.unionByName(
+                missing.select(
+                    F.col(id_col),
+                    F.lit("$setOnInsert").alias("op"),
+                    "key_path",
+                    "value",
+                    F.lit(True).alias("upsert"),
+                )
+            )
     return out
+
+
+def _default_as_json(value: Any) -> str:
+    """Encode a driver-side defaultValue as the table's JSON value form
+    (extended JSON for datetimes)."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return json.dumps({"$date": value.isoformat()})
+    return json.dumps(value)

@@ -74,6 +74,17 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 _IMAGE_FEATURES_SCHEMA = "id bigint, width int, height int, embedding array<float>"
 
 
+def pil_available() -> bool:
+    """True when the optional pillow dependency is importable (executors and
+    driver must agree — ship it with --py-files / the image in production)."""
+    try:
+        import importlib.util
+
+        return importlib.util.find_spec("PIL") is not None
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def decode_image_features(
     df: DataFrame,
     *,
@@ -84,21 +95,57 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode images and extract features via Arrow-batched mapInPandas.
 
-    The real kernel would PIL-decode and run a vision encoder; this container
-    has neither, so ``use_stub=True`` produces DETERMINISTIC FAKE features
-    (hash-derived) with the exact same schema, batch shape, and partition
-    behavior. ``use_stub=False`` raises NotImplementedError at the decode
-    site, marking where the real kernel plugs in.
+    ``use_stub=False`` uses the REAL pillow decode path when the library is
+    importable: actual width/height from the decoded image and a coarse
+    grayscale-histogram embedding (deterministic, no ML deps).  Without
+    pillow it raises NotImplementedError at the decode site, marking where a
+    production vision encoder plugs in.  ``use_stub=True`` produces
+    DETERMINISTIC FAKE features (hash-derived) with the exact same schema,
+    batch shape, and partition behavior.
     """
 
+    def _pil_features(payload: bytes) -> tuple[int, int, list[float]]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        gray = img.convert("L")
+        # coarse luminance histogram, L1-normalized to embedding_dim buckets
+        hist = gray.histogram()  # 256 buckets
+        per = 256 // embedding_dim
+        buckets = [
+            float(sum(hist[j * per:(j + 1) * per])) for j in range(embedding_dim)
+        ]
+        total = sum(buckets) or 1.0
+        return img.width, img.height, [b / total for b in buckets]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = not use_stub
+        if real and not pil_available():
+            raise NotImplementedError(
+                "real image decode requires pillow; not installed — "
+                "use use_stub=True or ship PIL to the executors"
+            )
         for pdf in it:
-            if not use_stub:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision; not available "
-                    "in this environment — use use_stub=True"
-                )
             ids = pdf[id_col]
+            if real:
+                widths, heights, embs = [], [], []
+                for b in pdf[payload_col]:
+                    if b is None:
+                        widths.append(0); heights.append(0)
+                        embs.append([0.0] * embedding_dim)
+                    else:
+                        w, h, e = _pil_features(bytes(b))
+                        widths.append(w); heights.append(h); embs.append(e)
+                out = pd.DataFrame(
+                    {"id": ids, "width": pd.Series(widths, dtype="int32"),
+                     "height": pd.Series(heights, dtype="int32"),
+                     "embedding": embs}
+                )
+                yield out
+                continue
             sizes = pdf[payload_col].map(lambda b: len(b) if b is not None else 0)
             out = pd.DataFrame(
                 {
@@ -140,7 +187,7 @@ def sample_video_frames(
                     "in this environment — use use_stub=True"
                 )
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 size = len(r[payload_col]) if r[payload_col] is not None else 0
                 for j in range(n_frames):
                     rows.append(

@@ -388,6 +388,26 @@ class SimpleSchema:
     def all_doc_validators(self) -> list[Callable]:
         return list(self._doc_validators) + list(SimpleSchema._global_doc_validators)
 
+    # --------------------------------------------------------------- contexts
+
+    def named_context(self, name: str = "default", id_cols=("url",)):
+        """Cached named ValidationContext (reference SimpleSchema.ts:813-823):
+        the same name returns the same context, which retains prior errors on
+        ``keys`` revalidation (ValidationContext.ts:115-125)."""
+        from ..validation import ValidationContext
+
+        if not hasattr(self, "_named_contexts"):
+            self._named_contexts: dict[str, ValidationContext] = {}
+        if name not in self._named_contexts:
+            self._named_contexts[name] = ValidationContext(self, id_cols=id_cols)
+        return self._named_contexts[name]
+
+    def new_context(self, id_cols=("url",)):
+        """Uncached context (reference newContext())."""
+        from ..validation import ValidationContext
+
+        return ValidationContext(self, id_cols=id_cols)
+
     # ----------------------------------------------------------------- labels
 
     def label(self, key: str) -> Optional[str]:

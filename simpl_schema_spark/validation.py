@@ -103,7 +103,56 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
 
         return F.pandas_udf(_apply, T.StringType())
 
+    def _extract(el, subpath):
+        if not subpath:
+            return el
+        cur = el
+        for seg in subpath.split("."):
+            if cur is None:
+                return None
+            cur = cur.get(seg) if isinstance(cur, dict) else getattr(cur, seg, None)
+        return cur
+
+    def make_item_udf(fn, key, subpath, wants_ctx):
+        """Whole-array UDF: error type per element (see _PandasRule.elementwise)."""
+        def run_row(arr, row):
+            if arr is None:
+                return None
+            out = []
+            for el in arr:
+                v = _extract(el, subpath)
+                out.append(
+                    fn(v, FieldContext(key, v, row)) if wants_ctx else fn(v)
+                )
+            return out
+
+        def _apply_plain(arrays: pd.Series) -> pd.Series:
+            return pd.Series([run_row(a, {}) for a in arrays], dtype=object)
+
+        def _apply_ctx(arrays: pd.Series, ctx_rows: pd.DataFrame) -> pd.Series:
+            rows = ctx_rows.to_dict("records")
+            return pd.Series(
+                [run_row(a, r) for a, r in zip(arrays, rows)], dtype=object
+            )
+
+        out_t = T.ArrayType(T.StringType())
+        if wants_ctx:
+            return F.pandas_udf(_apply_ctx, out_t)
+        return F.pandas_udf(_apply_plain, out_t)
+
     for rule in rules:
+        if rule.elementwise:
+            arr_col = F.col(rule.input_cols[0])
+            wants_ctx = bool(rule.context_cols)
+            udf = make_item_udf(rule.fn, rule.key, rule.item_subpath, wants_ctx)
+            if wants_ctx:
+                ctx_struct = F.struct(
+                    *[F.col(c).alias(c) for c in rule.context_cols]
+                )
+                df = df.withColumn(rule.column_name, udf(arr_col, ctx_struct))
+            else:
+                df = df.withColumn(rule.column_name, udf(arr_col))
+            continue
         value_col = (
             F.col(rule.input_cols[0])
             if rule.input_cols
@@ -263,3 +312,76 @@ def validate(
     **kwargs: Any,
 ) -> ValidationResult:
     return ValidationResult(with_violations(df, schema, **kwargs), schema)
+
+
+class ValidationContext:
+    """Named validation context (reference src/ValidationContext.ts:8-144,
+    cached per schema via SimpleSchema.ts:813-823).
+
+    Holds the last validated DataFrame; revalidating with ``keys`` RETAINS
+    prior violations of keys outside the validated subtrees and replaces
+    those inside (ValidationContext.ts:115-125).  The merge is one
+    broadcast-friendly equi-join on the id columns plus an array filter —
+    no Python, no extra shuffle beyond the join.
+    """
+
+    def __init__(self, schema: SimpleSchema, id_cols: Iterable[str] = ("url",)):
+        self.schema = schema
+        self.id_cols = list(id_cols)
+        self._last: Optional[DataFrame] = None
+
+    def reset(self) -> None:
+        """ValidationContext.reset() — drop retained errors."""
+        self._last = None
+
+    def validate(
+        self, df: DataFrame, *, keys: Optional[list[str]] = None, **kwargs: Any
+    ) -> ValidationResult:
+        from .schema.definition import make_key_generic
+
+        out = with_violations(df, self.schema, keys=keys, **kwargs)
+        if keys is not None and self._last is not None:
+            generics = [make_key_generic(k) for k in keys]
+
+            def in_revalidated(v):
+                name_generic = F.regexp_replace(
+                    v.getField("name"), r"(?<=^|\.)\d+(?=\.|$)", "\\$"
+                )
+                cond = F.lit(False)
+                for g in generics:
+                    cond = cond | (name_generic == g) | name_generic.startswith(g + ".")
+                return cond
+
+            empty = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+            prior = self._last.select(
+                *self.id_cols, F.col("violations").alias("__prior")
+            )
+            retained = F.filter(F.col("__prior"), lambda v: ~in_revalidated(v))
+            out = (
+                out.join(prior, self.id_cols, "left")
+                .withColumn(
+                    "violations",
+                    F.concat(F.coalesce(retained, empty), F.col("violations")),
+                )
+                .drop("__prior")
+            )
+        self._last = out
+        return ValidationResult(out, self.schema)
+
+    def key_is_invalid(self, key: str) -> bool:
+        """ValidationContext.keyIsInvalid — any violation on the key or its
+        descendants in the last run."""
+        if self._last is None:
+            return False
+        return (
+            self._last.where(
+                F.exists(
+                    "violations",
+                    lambda v: (v.getField("name") == key)
+                    | v.getField("name").startswith(key + "."),
+                )
+            )
+            .limit(1)
+            .count()
+            > 0
+        )

@@ -1,0 +1,313 @@
+"""autoValue / defaultValue completion (round 2).
+
+Representative cases ported from the reference's
+test/clean/autoValue.tests.ts (1,058 lines) and
+test/clean/defaultValue.tests.ts (846 lines) — semantics, not code:
+opaque Python autoValues (pandas-UDF fallback) with the AutoValueRunner
+context (value/isSet/field/siblingField/unset, return-undefined=no-change),
+array-position write-back, parents-first ordering, and the upsert
+$setOnInsert emission (SimpleSchema.ts:1148-1167).
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simpl_schema_spark.cleaning import clean, spark_auto_value
+from simpl_schema_spark.schema import SimpleSchema
+
+
+def _one(df):
+    return df.collect()[0].asDict(recursive=True)
+
+
+class TestPythonAutoValue:
+    def test_transform_value(self, spark):
+        def upper(ctx):
+            return ctx.value.upper() if ctx.is_set else ctx.UNCHANGED
+
+        ss = SimpleSchema({"s": {"type": str, "autoValue": upper}})
+        df = spark.createDataFrame([("hi",)], "s string")
+        assert _one(clean(df, ss))["s"] == "HI"
+
+    def test_runs_when_unset(self, spark):
+        # autoValue fns run on unset keys too (isSet=false) — the
+        # createdAt pattern (autoValue.tests.ts 'content' cases)
+        def fill(ctx):
+            if not ctx.is_set:
+                return "filled"
+
+        ss = SimpleSchema({"s": {"type": str, "optional": True, "autoValue": fill}})
+        df = spark.createDataFrame([(None,)], "s string")
+        assert _one(clean(df, ss))["s"] == "filled"
+
+    def test_return_none_means_unchanged(self, spark):
+        def noop(ctx):
+            return None
+
+        ss = SimpleSchema({"s": {"type": str, "autoValue": noop}})
+        df = spark.createDataFrame([("keep",)], "s string")
+        assert _one(clean(df, ss))["s"] == "keep"
+
+    def test_unset_removes_value(self, spark):
+        def strip(ctx):
+            if ctx.value == "secret":
+                ctx.unset()
+
+        ss = SimpleSchema({"s": {"type": str, "optional": True, "autoValue": strip}})
+        df = spark.createDataFrame([("secret",), ("ok",)], "s string")
+        got = {r.s for r in clean(df, ss).collect()}
+        assert got == {None, "ok"}
+
+    def test_field_access(self, spark):
+        # this.field() — cross-field derivation (autoValue.tests.ts context)
+        def derive(ctx):
+            first = ctx.field("first") or ""
+            last = ctx.field("last") or ""
+            return f"{first} {last}".strip()
+
+        ss = SimpleSchema(
+            {
+                "first": str,
+                "last": str,
+                "full": {"type": str, "optional": True, "autoValue": derive},
+            }
+        )
+        df = spark.createDataFrame([("Ada", "Lovelace", None)],
+                                   "first string, last string, full string")
+        assert _one(clean(df, ss))["full"] == "Ada Lovelace"
+
+    def test_sibling_field_nested(self, spark):
+        def double_sib(ctx):
+            n = ctx.sibling_field("n")
+            return (n or 0) * 2
+
+        ss = SimpleSchema(
+            {
+                "o": {"type": dict},
+                "o.n": int,
+                "o.twice": {"type": int, "optional": True, "autoValue": double_sib},
+            }
+        )
+        df = spark.createDataFrame([((5, None),)], "o struct<n bigint, twice bigint>")
+        assert _one(clean(df, ss))["o"]["twice"] == 10
+
+    def test_declared_context_fields(self, spark):
+        def use_flag(ctx):
+            return "yes" if ctx.field("flag") else "no"
+
+        use_flag.context_fields = ["flag"]
+        ss = SimpleSchema(
+            {
+                "flag": bool,
+                "s": {"type": str, "optional": True, "autoValue": use_flag},
+                "big": {"type": str, "optional": True},
+            }
+        )
+        df = spark.createDataFrame([(True, None, "x" * 10)],
+                                   "flag boolean, s string, big string")
+        assert _one(clean(df, ss))["s"] == "yes"
+
+    def test_parents_first_ordering(self, spark):
+        # a child autoValue sees the result of a parent-level autoValue
+        # (setAutoValues.ts:15-36 sort)
+        def set_parent_n(ctx):
+            return 7
+
+        def child_from_parent(ctx):
+            return (ctx.field("o.n") or 0) + 1
+
+        ss = SimpleSchema(
+            {
+                "o": {"type": dict},
+                "o.n": {"type": int, "optional": True, "autoValue": set_parent_n},
+                "o.m": {"type": int, "optional": True,
+                        "autoValue": child_from_parent},
+            }
+        )
+        df = spark.createDataFrame([((None, None),)], "o struct<n bigint, m bigint>")
+        got = _one(clean(df, ss))["o"]
+        assert got == {"n": 7, "m": 8}
+
+
+class TestArrayPositionAutoValue:
+    def test_scalar_items(self, spark):
+        @spark_auto_value
+        def upper(ctx):
+            return F.upper(ctx.value)
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "autoValue": upper},
+            }
+        )
+        df = spark.createDataFrame([(["a", "b"],)], "tags array<string>")
+        assert _one(clean(df, ss))["tags"] == ["A", "B"]
+
+    def test_struct_item_field(self, spark):
+        @spark_auto_value
+        def stamp(ctx):
+            return F.coalesce(ctx.value, F.lit("stamped"))
+
+        ss = SimpleSchema(
+            {
+                "items": {"type": SimpleSchema.Array, "optional": True},
+                "items.$": {"type": dict},
+                "items.$.name": str,
+                "items.$.note": {"type": str, "optional": True, "autoValue": stamp},
+            }
+        )
+        df = spark.createDataFrame(
+            [([("a", None), ("b", "kept")],)],
+            "items array<struct<name string, note string>>",
+        )
+        got = _one(clean(df, ss))["items"]
+        assert got == [
+            {"name": "a", "note": "stamped"},
+            {"name": "b", "note": "kept"},
+        ]
+
+    def test_default_value_fills_array_items(self, spark):
+        ss = SimpleSchema(
+            {
+                "items": {"type": SimpleSchema.Array, "optional": True},
+                "items.$": {"type": dict},
+                "items.$.state": {"type": str, "defaultValue": "new"},
+            }
+        )
+        df = spark.createDataFrame(
+            [([("old",), (None,)],)], "items array<struct<state string>>"
+        )
+        got = _one(clean(df, ss))["items"]
+        assert got == [{"state": "old"}, {"state": "new"}]
+
+    def test_null_array_untouched(self, spark):
+        @spark_auto_value
+        def upper(ctx):
+            return F.upper(ctx.value)
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "autoValue": upper},
+            }
+        )
+        df = spark.createDataFrame([(None,)], "tags array<string>")
+        assert _one(clean(df, ss))["tags"] is None
+
+    def test_python_fn_on_array_item_raises(self, spark):
+        def nope(ctx):
+            return 1
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "autoValue": nope},
+            }
+        )
+        df = spark.createDataFrame([(["a"],)], "tags array<string>")
+        with pytest.raises(NotImplementedError):
+            clean(df, ss)
+
+
+class TestDefaultValueDocMode:
+    def test_applied_when_unset_not_when_set(self, spark):
+        ss = SimpleSchema({"s": {"type": str, "defaultValue": "d"}})
+        df = spark.createDataFrame([(None,), ("x",)], "s string")
+        assert {r.s for r in clean(df, ss).collect()} == {"d", "x"}
+
+    def test_false_and_zero_are_set(self, spark):
+        # falsy-but-present values are NOT replaced (defaultValue.tests.ts)
+        ss = SimpleSchema(
+            {
+                "b": {"type": bool, "defaultValue": True},
+                "n": {"type": int, "defaultValue": 5},
+            }
+        )
+        df = spark.createDataFrame([(False, 0)], "b boolean, n bigint")
+        got = _one(clean(df, ss))
+        assert got == {"b": False, "n": 0}
+
+    def test_nested_default_requires_parent(self, spark):
+        ss = SimpleSchema(
+            {
+                "o": {"type": dict, "optional": True},
+                "o.s": {"type": str, "defaultValue": "d"},
+            }
+        )
+        df = spark.createDataFrame([((None,),), (None,)], "o struct<s string>")
+        got = sorted(
+            (r.asDict(recursive=True)["o"] or {}).get("s", "ABSENT")
+            for r in clean(df, ss).collect()
+        )
+        # parent present → filled; parent absent → stays absent
+        assert got == ["ABSENT", "d"]
+
+
+class TestDefaultValueUpsert:
+    MOD_DDL = "doc_id bigint, op string, key_path string, value string, upsert boolean"
+
+    def _schema(self):
+        return SimpleSchema(
+            {
+                "name": str,
+                "state": {"type": str, "defaultValue": "new"},
+                "rank": {"type": int, "defaultValue": 1, "optional": True},
+            }
+        )
+
+    def _clean(self, spark, rows, **opts):
+        from simpl_schema_spark.modifiers import clean_modifier_table
+
+        df = spark.createDataFrame(rows, self.MOD_DDL)
+        out = clean_modifier_table(df, self._schema(), **opts)
+        return sorted((r.doc_id, r.op, r.key_path, r.value) for r in out.collect())
+
+    def test_set_on_insert_emitted_for_upsert(self, spark):
+        got = self._clean(spark, [(1, "$set", "name", '"x"', True)])
+        assert got == [
+            (1, "$set", "name", '"x"'),
+            (1, "$setOnInsert", "rank", "1"),
+            (1, "$setOnInsert", "state", '"new"'),
+        ]
+
+    def test_not_emitted_for_non_upsert(self, spark):
+        got = self._clean(spark, [(1, "$set", "name", '"x"', False)])
+        assert got == [(1, "$set", "name", '"x"')]
+
+    def test_not_emitted_when_key_referenced(self, spark):
+        # key referenced under ANY op is isSet → no default injection
+        got = self._clean(
+            spark,
+            [
+                (1, "$set", "name", '"x"', True),
+                (1, "$set", "state", '"done"', True),
+            ],
+        )
+        assert got == [
+            (1, "$set", "name", '"x"'),
+            (1, "$set", "state", '"done"'),
+            (1, "$setOnInsert", "rank", "1"),
+        ]
+
+    def test_off_switch(self, spark):
+        got = self._clean(
+            spark, [(1, "$set", "name", '"x"', True)], get_auto_values=False
+        )
+        assert got == [(1, "$set", "name", '"x"')]
+
+    def test_roundtrip_validates(self, spark):
+        from simpl_schema_spark.modifiers import (
+            clean_modifier_table,
+            validate_modifier_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "$set", "name", '"x"', True)], self.MOD_DDL
+        )
+        cleaned = clean_modifier_table(df, self._schema())
+        # after default injection the upsert has every required key
+        assert validate_modifier_table(cleaned, self._schema()).collect() == []

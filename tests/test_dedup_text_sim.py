@@ -297,3 +297,41 @@ class TestBoundedBuckets:
         ).collect()
         ids = {(r.id_a, r.id_b) for r in pairs}
         assert ids == {(1, 2)}
+
+
+class TestRealImageDecode:
+    """Non-stub decode path, gated on pillow's presence (graceful fallback)."""
+
+    def test_real_decode_when_pil_present(self, spark):
+        from simpl_schema_spark.multimodal.media import (
+            decode_image_features,
+            pil_available,
+        )
+
+        if not pil_available():
+            pytest.skip("pillow not installed in this environment")
+        import io
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (13, 7), (200, 10, 10)).save(buf, format="PNG")
+        df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                                   "id bigint, payload binary")
+        row = decode_image_features(df, use_stub=False).collect()[0]
+        assert (row.width, row.height) == (13, 7)
+        assert len(row.embedding) == 8 and abs(sum(row.embedding) - 1.0) < 1e-6
+
+    def test_real_decode_raises_cleanly_without_pil(self, spark):
+        from simpl_schema_spark.multimodal.media import (
+            decode_image_features,
+            pil_available,
+        )
+
+        if pil_available():
+            pytest.skip("pillow IS installed; fallback path not reachable")
+        df = spark.createDataFrame([(1, bytearray(b"xx"))], "id bigint, payload binary")
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception) as exc:
+            decode_image_features(df, use_stub=False).collect()
+        assert "pillow" in str(exc.value) or "NotImplementedError" in str(exc.value)

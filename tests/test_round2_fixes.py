@@ -244,3 +244,139 @@ class TestStructExportNullable:
         by_name = {f.name: f for f in st.fields}
         assert by_name["req"].nullable is False
         assert by_name["opt"].nullable is True
+
+
+class TestArrayItemPythonValidators:
+    """Python custom validators on array-item keys (reference
+    validateField.ts:293-306 + friendsSchema-style nested arrays): one
+    Arrow UDF over the whole array column, per-index violation names."""
+
+    def test_scalar_items(self, spark):
+        def no_banana(v):
+            return "noBanana" if v == "banana" else None
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "custom": no_banana},
+            }
+        )
+        ddl = "tags array<string>"
+        expect_errors(
+            spark, ss, ddl, {"tags": ["ok", "banana", "x", "banana"]},
+            [("tags.1", "noBanana"), ("tags.3", "noBanana")],
+        )
+        expect_valid(spark, ss, ddl, {"tags": ["a", "b"]})
+        expect_valid(spark, ss, ddl, {"tags": None})
+
+    def test_struct_item_field(self, spark):
+        # friendsSchema pattern: array of objects, validator on a field
+        def valid_name(v):
+            if v is not None and not v.istitle():
+                return "notTitleCase"
+            return None
+
+        ss = SimpleSchema(
+            {
+                "friends": {"type": SimpleSchema.Array},
+                "friends.$": {"type": dict},
+                "friends.$.name": {"type": str, "custom": valid_name},
+            }
+        )
+        ddl = "friends array<struct<name string>>"
+        expect_errors(
+            spark, ss, ddl, {"friends": [{"name": "Ada"}, {"name": "bob"}]},
+            [("friends.1.name", "notTitleCase")],
+        )
+        expect_valid(spark, ss, ddl, {"friends": [{"name": "Ada"}]})
+
+    def test_item_validator_with_context(self, spark):
+        def must_match_host(v, ctx):
+            host = ctx.field("host")
+            if v is not None and host is not None and not v.endswith(host):
+                return "hostMismatch"
+            return None
+
+        ss = SimpleSchema(
+            {
+                "host": str,
+                "urls": {"type": SimpleSchema.Array, "optional": True},
+                "urls.$": {"type": str, "custom": must_match_host},
+            }
+        )
+        ddl = "host string, urls array<string>"
+        expect_errors(
+            spark, ss, ddl,
+            {"host": "a.com", "urls": ["x.a.com", "y.b.org"]},
+            [("urls.1", "hostMismatch")],
+        )
+
+    def test_mixed_with_builtin_rules(self, spark):
+        def no_empty(v):
+            return "custom" if v == "zz" else None
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "max": 4, "custom": no_empty},
+            }
+        )
+        ddl = "tags array<string>"
+        expect_errors(
+            spark, ss, ddl, {"tags": ["toolong", "zz", "ok"]},
+            [("tags.0", "maxString"), ("tags.1", "custom")],
+        )
+
+
+class TestNamedContexts:
+    """Named validation contexts + `keys` retained-error merge
+    (reference ValidationContext.ts:115-125, SimpleSchema.ts:813-823)."""
+
+    def _schema(self):
+        return SimpleSchema(
+            {
+                "id": {"type": int, "optional": True},
+                "a": {"type": str, "min": 3},
+                "b": {"type": int, "min": 0, "max": 10},
+            }
+        )
+
+    def test_named_context_cached(self, spark):
+        ss = self._schema()
+        assert ss.named_context("form") is ss.named_context("form")
+        assert ss.named_context("form") is not ss.named_context("other")
+        assert ss.new_context() is not ss.new_context()
+
+    def test_keys_revalidation_retains_other_errors(self, spark):
+        ss = self._schema()
+        ctx = ss.named_context("form", id_cols=("id",))
+        df = spark.createDataFrame([(1, "x", 99)], "id bigint, a string, b bigint")
+        r1 = ctx.validate(df)
+        errs1 = sorted((e["name"], e["type"]) for e in r1.validation_errors())
+        assert errs1 == [("a", "minString"), ("b", "maxNumber")]
+
+        # fix `b` only; revalidate just `b` → a's prior error is retained
+        df2 = spark.createDataFrame([(1, "x", 5)], "id bigint, a string, b bigint")
+        r2 = ctx.validate(df2, keys=["b"])
+        errs2 = sorted((e["name"], e["type"]) for e in r2.validation_errors())
+        assert errs2 == [("a", "minString")]
+        assert ctx.key_is_invalid("a") and not ctx.key_is_invalid("b")
+
+    def test_keys_revalidation_replaces_validated_key(self, spark):
+        ss = self._schema()
+        ctx = ss.new_context(id_cols=("id",))
+        df = spark.createDataFrame([(1, "ok!", 99)], "id bigint, a string, b bigint")
+        ctx.validate(df)
+        # b still invalid on revalidation → new error, not duplicated
+        r2 = ctx.validate(df, keys=["b"])
+        errs = [(e["name"], e["type"]) for e in r2.validation_errors()]
+        assert errs == [("b", "maxNumber")]
+
+    def test_reset_clears_retained(self, spark):
+        ss = self._schema()
+        ctx = ss.new_context(id_cols=("id",))
+        df = spark.createDataFrame([(1, "x", 5)], "id bigint, a string, b bigint")
+        ctx.validate(df)
+        ctx.reset()
+        r = ctx.validate(df, keys=["b"])
+        assert r.validation_errors() == []  # 'a' error NOT retained after reset
