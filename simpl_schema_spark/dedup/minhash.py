@@ -142,10 +142,13 @@ def minhash_near_duplicates(
     sigs = sets.select(
         "id", minhash_signature(F.col("sh"), num_perm).alias("sig")
     ).where(F.col("sig").isNotNull())
-    # signatures are consumed three times (band explode + both sides of the
-    # verify join): persist so the shingle+hash pipeline runs once — the
-    # same pattern as persisting an MLlib feature DF before a self-join
+    # signatures are consumed four times (bucket count + collect + both
+    # verify sides): persist AND materialize eagerly — independent stages of
+    # one action otherwise race to populate the cache, duplicating the
+    # shingle+hash pipeline (same pattern as persisting an MLlib feature DF
+    # before a self-join)
     sigs = sigs.persist()
+    sigs.count()
 
     pairs = lsh_candidate_pairs(
         sigs, "id", "sig",

@@ -2,19 +2,30 @@
 
 Exact Jaccard over word n-gram shingle sets, scalable shape:
 
-1. explode (id, shingle) — linear
-2. drop ultra-common shingles (document frequency > ``max_shingle_df``):
-   boilerplate n-grams would otherwise create quadratic candidate blow-up
-   while contributing almost no discriminative signal
-3. group by shingle → id lists → within-bucket pairs (bounded)
-4. exact verify: jaccard = |A∩B| / |A∪B| on the full shingle sets
+1. shingle + hash: word k-grams → distinct 64-bit hashes (8 bytes/shingle in
+   every shuffle; Jaccard over hashes equals Jaccard over strings up to
+   64-bit collisions — negligible at per-document set sizes)
+2. document frequency per shingle; shingles with df > ``max_shingle_df``
+   (boilerplate) are DROPPED from the index before any collect_list, so no
+   reducer ever buffers an unbounded id list
+3. group by shingle → id lists (≤ cap by construction) → within-bucket pairs
+   → per-pair CO-OCCURRENCE COUNT ``c`` (groupBy, not distinct — same shuffle)
+4. count-only exact Jaccard: ``c`` equals |A∩B| whenever neither doc lost a
+   shingle to the hot-cap (a dropped common shingle is dropped for BOTH), so
+   for min(dropped_A, dropped_B) == 0 pairs — the overwhelming majority —
+   jaccard = c / (|A|+|B|−c) EXACTLY from three integers, no array join
+5. the remaining pairs (both docs boilerplate-heavy) verify against the full
+   hashed shingle sets
+
+Versus verifying every candidate with an array join: the candidate stream
+carries only integers until step 5, which typically sees a few pairs per
+million candidates.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .buckets import bounded_buckets
 from .minhash import shingles
 
 __all__ = ["ngram_jaccard_pairs", "jaccard"]
@@ -35,14 +46,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_df: int = 100,
 ) -> DataFrame:
-    """Exact-Jaccard near-dup pairs ``(id_a, id_b, jaccard)`` ≥ threshold.
-
-    Shingles are hashed to 64-bit longs up front: the inverted-index shuffle
-    and both verify-join payloads ship 8 bytes per shingle instead of the
-    full n-gram string, and set intersection compares longs.  Jaccard over
-    the hashed sets equals Jaccard over the string sets up to 64-bit
-    collisions (negligible for per-document set sizes).
-    """
+    """Exact-Jaccard near-dup pairs ``(id_a, id_b, jaccard)`` ≥ threshold."""
     sets = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -53,17 +57,24 @@ def ngram_jaccard_pairs(
         )
         .where(F.size("sh") > 0)
     )
-    # consumed three times (inverted index + both verify sides): persist so
-    # the shingle pipeline runs once
+    # multi-consumer: persist AND materialize eagerly — independent stages of
+    # one action otherwise populate the cache concurrently, each recomputing
+    # the shingle pipeline for partitions the others haven't cached yet
     sets = sets.persist()
+    sets.count()
+
     inverted = sets.select("id", F.explode("sh").alias("g"))
-    # hot shingles (boilerplate) are counted out BEFORE collect_list so no
-    # reducer ever buffers an unbounded id list
-    buckets = bounded_buckets(
-        inverted, ["g"], F.col("id"),
-        max_bucket_size=max_shingle_df, members_alias="ids",
+    g_counts = inverted.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    hot = g_counts.where(F.col("df") > max_shingle_df).select("g")
+    # drop hot shingles BEFORE collect_list: every surviving bucket ≤ cap
+    live = inverted.join(hot, "g", "left_anti")
+    buckets = (
+        live.groupBy("g")
+        .agg(F.collect_list("id").alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    pairs = (
+    # co-occurrence count per pair — groupBy instead of distinct, same shuffle
+    pair_c = (
         buckets.select(
             F.explode(
                 F.flatten(
@@ -82,14 +93,58 @@ def ngram_jaccard_pairs(
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    # per-doc metadata: set size + how many shingles the hot-cap dropped
+    drops = (
+        inverted.join(hot, "g", "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_drop"))
+    )
+    meta = (
+        sets.select("id", F.size("sh").alias("n"))
+        .join(drops, "id", "left")
+        .select("id", "n", F.coalesce("n_drop", F.lit(0)).alias("n_drop"))
+    )
+    cand = (
+        pair_c.join(
+            meta.select(
+                F.col("id").alias("id_a"),
+                F.col("n").alias("n_a"),
+                F.col("n_drop").alias("d_a"),
+            ),
+            "id_a",
+        ).join(
+            meta.select(
+                F.col("id").alias("id_b"),
+                F.col("n").alias("n_b"),
+                F.col("n_drop").alias("d_b"),
+            ),
+            "id_b",
+        )
+    )
+    # candidate metadata is a few ints per pair; persist so the fast and
+    # slow branches below don't each recompute the pair/meta shuffles
+    cand = cand.persist()
+    # neither side lost shingles → c == |A∩B|, Jaccard exact from counts
+    count_exact = F.least("d_a", "d_b") == 0
+    j_count = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    fast = (
+        cand.where(count_exact)
+        .select("id_a", "id_b", j_count.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    # both sides boilerplate-heavy: exact verify on the full hashed sets
+    slow_pairs = cand.where(~count_exact).select("id_a", "id_b")
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    slow = (
+        slow_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return fast.unionByName(slow)

@@ -110,6 +110,7 @@ def simhash_near_duplicates(
         # persist so the tokenize+fingerprint pipeline runs once
         .persist()
     )
+    sigs.count()  # materialize before the multi-consumer DAG (see ngram.py)
     chunks = F.array(
         *[
             F.struct(

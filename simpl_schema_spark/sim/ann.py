@@ -160,6 +160,7 @@ def embedding_near_duplicates(
         # consumed twice by the bounded bucket builder (count + collect):
         # persist so the n_planes dot products run once per vector
     ).persist()
+    sigs.count()  # materialize before the multi-consumer DAG (see ngram.py)
     chunks = F.array(
         *[
             F.struct(
