@@ -198,6 +198,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with FULL probing — must equal brute-force top-k exactly
+    (the approximation knob nprobe<k_centroids is pytest-gated on recall)."""
+    from simpl_schema_spark.sim import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, n_centroids=8, sample_size=2000)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, cents, k=3, nprobe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean() pipeline (C1-C4) over dirtied documents: trim + empty-string
     removal + autoConvert stay byte-faithful."""
@@ -404,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_components": q_quality_components,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "clean_documents": q_clean_documents,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_near_dups": q_minhash_near_dups,
@@ -610,6 +624,23 @@ def oracle_sql() -> dict[str, str]:
                        ['the','and','of','to','a','in','is','that','it','for'],
                        lower(x))))::bigint as n_stopwords
               from toks
+        """,
+        "ivf_topk": """
+            with q as (
+                select vec_id as query_id, embedding as q_vec
+                  from embeddings where vec_id < 5
+            ), scored as (
+                select q.query_id, e.vec_id as neighbor_id,
+                       list_cosine_similarity(e.embedding, q.q_vec) as score
+                  from embeddings e, q
+                 where e.vec_id != q.query_id
+            ), ranked as (
+                select query_id, neighbor_id,
+                       row_number() over (partition by query_id
+                                          order by score desc, neighbor_id) as rank
+                  from scored
+            )
+            select query_id, neighbor_id, rank from ranked where rank <= 3
         """,
         "ann_topk": """
             with q as (

@@ -300,16 +300,60 @@ Regenerate with: `python bench.py --scaling [--rows N]`.
         f.write(md)
 
 
+def run_string_calibration(cores: int) -> float:
+    """Memory-bandwidth-heavy calibration: regex + trim over synthetic ~1 KB
+    strings, no input I/O — the validation hot loop's instruction/memory
+    profile, isolated from parquet decode.  Shows how string processing
+    scales with threads ON THIS HOST (vs the pure-register xxhash64
+    calibration, which barely touches memory)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(0, 3_000_000, 1, 128).select(
+        F.concat(
+            F.lit("  " + "lorem ipsum dolor sit amet " * 36),
+            F.col("id").cast("string"),
+            F.lit("  "),
+        ).alias("s")
+    )
+    out = df.select(
+        (
+            F.length(F.regexp_replace(F.col("s"), r"\s+[a-z]", "X"))
+            + F.length(F.regexp_replace(F.col("s"), r"^\s+|\s+$", ""))
+        ).alias("n")
+    )
+    materialize(out)
+    best = None
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        materialize(out)
+        w = _t.perf_counter() - t0
+        best = w if best is None else min(best, w)
+    spark.stop()
+    return round(best, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--docs-bench", type=int, default=None)
+    ap.add_argument("--string-cal", type=int, default=None, metavar="CORES")
+    ap.add_argument("--cpu-cal", type=int, default=None, metavar="CORES")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--rows", type=int, default=2_000_000)
     args = ap.parse_args()
 
     if args.docs_bench:
         print(json.dumps(run_docs_bench(args.docs_bench, args.cores)))
+    elif args.string_cal:
+        print(json.dumps({"cores": args.string_cal,
+                          "string_cal_wall": run_string_calibration(args.string_cal)}))
+    elif args.cpu_cal:
+        print(json.dumps({"cores": args.cpu_cal,
+                          "cpu_cal_wall": run_cpu_calibration(args.cpu_cal)}))
     elif args.scaling:
         run_scaling(args.rows)
     else:

@@ -45,19 +45,39 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
-    """P-element minhash signature (array<bigint>); NULL-safe on empty sets."""
-    return F.when(
-        F.size(shingle_col) > 0,
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(shingle_col, lambda s, p=p: F.xxhash64(s, F.lit(p)))
-                )
-                for p in range(num_perm)
-            ]
+def minhash_signature(
+    shingle_col: Column, num_perm: int = 64, seed: int = 7
+) -> Column:
+    """P-element minhash signature (array<bigint>); NULL-safe on empty sets.
+
+    Shape: hash each shingle string ONCE (xxhash64), then derive the P
+    permutation values by rehashing the resulting LONG with each permutation
+    index (``xxhash64(h, p)`` — two-word input, far cheaper than re-hashing
+    the string), accumulated as a single ``F.aggregate`` pass keeping the
+    elementwise minimum.  (A multiply-add family would be cheaper still but
+    Spark 4's ANSI mode forbids wrapping 64-bit arithmetic.)
+
+    This also FIXES a latent round-1 seeding bug: the old per-permutation
+    ``transform(col, lambda s, p=p: xxhash64(s, lit(p)))`` declared a
+    two-parameter lambda, which Spark's ``transform`` binds as
+    ``(element, array_index)`` — the index silently overwrote the captured
+    permutation seed, collapsing all P positions to ONE permutation.
+    Signatures are now genuinely P independent permutations (Jaccard
+    estimates take graded values instead of only 0/1).
+    """
+    perm_idx = F.sequence(F.lit(seed), F.lit(seed + num_perm - 1))
+    max_long = (1 << 63) - 1
+    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(max_long).cast("long"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(perm_idx, lambda p: F.xxhash64(h, p)),
+            lambda cur, v: F.least(cur, v),
         ),
     )
+    return F.when(F.size(shingle_col) > 0, sig)
 
 
 def lsh_candidate_pairs(

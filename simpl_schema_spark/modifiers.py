@@ -749,17 +749,16 @@ def clean_modifier_table(
         mods = mods.where(allowed | op.isin("$unset", "$rename"))
 
     # ---- per-key value cleaning ---------------------------------------------
-    cleaned = v
-    for k in comp.merged:
-        if k.endswith(".$"):
-            continue
-        alts = comp._alternatives(k)
-        if any(a.get("blackbox") is True or a.get("type") is AnyType for a in alts):
-            continue
+    def clean_token(k: str, token: Column) -> Column:
+        """autoConvert + trim for one JSON token checked against key ``k``."""
+        alts = comp._alternatives(k) if k in comp.merged else []
+        if not alts or any(
+            a.get("blackbox") is True or a.get("type") is AnyType for a in alts
+        ):
+            return token
         first = alts[0].get("type")
-        expr = v
+        expr = token
         if auto_convert:
-            types = [a.get("type") for a in alts]
             if first is String:
                 # number/bool JSON → quoted string (toString parity)
                 expr = F.when(
@@ -788,7 +787,75 @@ def clean_modifier_table(
                 _is_json_string(expr),
                 _json_quote(js_trim(_json_str(expr))),
             ).otherwise(expr)
-        cleaned = F.when(generic == k, expr).otherwise(cleaned)
+        return expr
+
+    def clean_object_value(k: str, token: Column) -> Column:
+        """Rebuild an object-valued $set token with each DECLARED child
+        cleaned (recursively for nested declared objects), empty-string
+        children removed, and — matching the reference's `filter` —
+        unknown children dropped (clean.ts:80-94 runs before the value
+        transforms).  Returns the original token for non-object input."""
+        prefix = f"{k}."
+        child_names = sorted(
+            {c[len(prefix):].split(".")[0] for c in comp.merged if c.startswith(prefix)}
+        )
+        var = F.parse_json(token)
+        fragments = []
+        for n in child_names:
+            child_key = f"{k}.{n}"
+            extracted = F.to_json(
+                F.try_variant_get(var, f"$['{n}']", "variant")
+            )
+            child_alts = comp._alternatives(child_key) if child_key in comp.merged else []
+            is_obj_child = any(
+                isinstance(a.get("type"), SimpleSchema) or a.get("type") is ObjectType
+                for a in child_alts
+            ) and not any(a.get("blackbox") is True for a in child_alts)
+            cleaned_child = (
+                clean_object_value(child_key, extracted)
+                if is_obj_child
+                else clean_token(child_key, extracted)
+            )
+            frag = F.concat(F.lit(f'"{n}": '), cleaned_child)
+            cond = extracted.isNotNull()
+            if remove_empty_strings:
+                cond = cond & (cleaned_child != F.lit('""'))
+            fragments.append(F.when(cond, frag))
+        if not fragments:
+            return token
+        rebuilt = F.concat(
+            F.lit("{"),
+            F.concat_ws(", ", F.array_compact(F.array(*fragments))),
+            F.lit("}"),
+        )
+        return F.when(
+            _is_json_object(token) & ~_is_ext_date(token), rebuilt
+        ).otherwise(token)
+
+    cleaned = v
+    object_keys = []
+    for k in comp.merged:
+        if k.endswith(".$"):
+            continue
+        alts = comp._alternatives(k)
+        if any(a.get("blackbox") is True or a.get("type") is AnyType for a in alts):
+            continue
+        if any(
+            isinstance(a.get("type"), SimpleSchema) or a.get("type") is ObjectType
+            for a in alts
+        ):
+            object_keys.append(k)
+            continue
+        cleaned = F.when(generic == k, clean_token(k, v)).otherwise(cleaned)
+    # object-valued $set: clean inside the value (declared children only —
+    # dynamic names can't be extracted with literal variant paths, and with
+    # filter=True the reference drops them anyway)
+    if filter:
+        for k in object_keys:
+            cleaned = F.when(
+                (generic == k) & op.isin(*OPS_SET),
+                clean_object_value(k, v),
+            ).otherwise(cleaned)
 
     out = mods.withColumn(
         "value", F.when(ignore_value_ops, v).otherwise(cleaned)

@@ -6,3 +6,4 @@ from .ann import (  # noqa: F401
     l2_norm,
     random_hyperplane_signature,
 )
+from .ivf import ivf_topk, train_centroids, with_cluster_id  # noqa: F401

@@ -335,3 +335,42 @@ class TestRealImageDecode:
         with pytest.raises(Exception) as exc:
             decode_image_features(df, use_stub=False).collect()
         assert "pillow" in str(exc.value) or "NotImplementedError" in str(exc.value)
+
+
+class TestIVF:
+    """IVF ANN: full probing ≡ brute force (exact); partial probing recall."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def test_full_probe_equals_bruteforce(self, spark, emb):
+        from simpl_schema_spark.sim.ivf import ivf_topk, train_centroids
+
+        cents = train_centroids(emb, n_centroids=8, sample_size=500)
+        queries = emb.where(F.col("vec_id") < 3)
+        ivf = ivf_topk(emb, queries, cents, k=5, nprobe=8)
+        bf = cosine_topk_bruteforce(emb, queries, k=5)
+        got = sorted((r.query_id, r.rank, r.neighbor_id) for r in ivf.collect())
+        want = sorted((r.query_id, r.rank, r.neighbor_id) for r in bf.collect())
+        assert got == want
+
+    def test_partial_probe_recall(self, spark, emb):
+        from simpl_schema_spark.sim.ivf import ivf_topk, train_centroids
+
+        cents = train_centroids(emb, n_centroids=8, sample_size=500)
+        queries = emb.where(F.col("vec_id") < 5)
+        ivf = ivf_topk(emb, queries, cents, k=5, nprobe=3)
+        bf = cosine_topk_bruteforce(emb, queries, k=5)
+        got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+        want = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+        recall = len(got & want) / len(want)
+        assert recall >= 0.6, f"recall {recall}"
+
+    def test_deterministic_centroids(self, spark, emb):
+        from simpl_schema_spark.sim.ivf import train_centroids
+        import numpy as np
+
+        c1 = train_centroids(emb, n_centroids=4, sample_size=200)
+        c2 = train_centroids(emb, n_centroids=4, sample_size=200)
+        assert np.allclose(c1, c2)

@@ -384,3 +384,70 @@ class TestObjectValuedSet:
         ss = SimpleSchema({"a": {"type": dict}, "a.b": str})
         got = run(spark, [(1, "$set", "a", '{"b": "x"}', True)], ss)
         assert got == []
+
+
+class TestObjectValuedSetCleaning:
+    """clean() recursion into object-valued $set values (clean.ts transforms
+    run on every node, incl. inside objects)."""
+
+    MOD_DDL = "doc_id bigint, op string, key_path string, value string, upsert boolean"
+
+    def _schema(self):
+        return SimpleSchema(
+            {
+                "a": {"type": dict},
+                "a.s": str,
+                "a.n": {"type": int, "optional": True},
+                "a.keep": {"type": str, "optional": True, "trim": False},
+                "a.c": {"type": dict, "optional": True},
+                "a.c.d": {"type": str, "optional": True},
+            }
+        )
+
+    def _clean(self, spark, value, **opts):
+        import json as _json
+        from simpl_schema_spark.modifiers import clean_modifier_table
+
+        df = spark.createDataFrame([(1, "$set", "a", value, False)], self.MOD_DDL)
+        out = clean_modifier_table(df, self._schema(), **opts).collect()
+        return _json.loads(out[0].value) if out else None
+
+    def test_trim_inside_object(self, spark):
+        got = self._clean(spark, '{"s": "  hi  "}')
+        assert got == {"s": "hi"}
+
+    def test_trim_false_child_respected(self, spark):
+        got = self._clean(spark, '{"s": "x", "keep": "  raw  "}')
+        assert got == {"s": "x", "keep": "  raw  "}
+
+    def test_autoconvert_inside_object(self, spark):
+        got = self._clean(spark, '{"s": 5, "n": "7"}')
+        assert got == {"s": "5", "n": 7}
+
+    def test_empty_string_child_removed(self, spark):
+        got = self._clean(spark, '{"s": "ok", "n": 1, "c": {"d": "  "}}')
+        assert got == {"s": "ok", "n": 1, "c": {}}
+
+    def test_unknown_child_filtered(self, spark):
+        got = self._clean(spark, '{"s": "ok", "zzz": 1}')
+        assert got == {"s": "ok"}
+
+    def test_nested_object_cleaned(self, spark):
+        got = self._clean(spark, '{"s": "ok", "c": {"d": "  deep  "}}')
+        assert got == {"s": "ok", "c": {"d": "deep"}}
+
+    def test_escaping_preserved_inside_object(self, spark):
+        got = self._clean(spark, '{"s": "  say \\"hi\\" \\\\ there  "}')
+        assert got == {"s": 'say "hi" \\ there'}
+
+    def test_clean_then_validate_object(self, spark):
+        from simpl_schema_spark.modifiers import (
+            clean_modifier_table,
+            validate_modifier_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "$set", "a", '{"s": "  ok  ", "n": "3"}', False)], self.MOD_DDL
+        )
+        cleaned = clean_modifier_table(df, self._schema())
+        assert validate_modifier_table(cleaned, self._schema()).collect() == []
