@@ -152,10 +152,12 @@ def numeric_drift_ks_exact(
     """EXACT two-sample KS statistic, fully relational (no sketches).
 
     D = max over distinct values x of |ECDF_cur(x) − ECDF_base(x)|, computed
-    from per-value counts + a running-sum window over the merged value grid.
-    One shuffle per side for the count, one ordered window over the (tiny)
-    distinct-value grid.  Right for ≤ ~10^8 distinct values; beyond that use
-    :func:`numeric_drift_ks` (sketch-based).
+    from per-value counts + a DISTRIBUTED prefix sum over the merged value
+    grid: range-partition the grid by x, cumsum locally within each sorted
+    range, then add per-partition offsets (a tiny ordered window over
+    #partitions rows, broadcast back).  No single-task global window — the
+    grid cumsum parallelizes like a sort, so the exact variant holds up to
+    grids that fit the cluster, not one executor.
 
     Returns one row ``(ks_statistic double)`` — deterministic, so it is
     oracle-checkable against an exact SQL implementation.
@@ -176,14 +178,52 @@ def numeric_drift_ks_exact(
         F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
         F.coalesce("c_base", F.lit(0)).alias("c_base"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     totals = merged.agg(
         F.sum("c_cur").alias("n_cur"), F.sum("c_base").alias("n_base")
     )
-    ecdf = merged.select(
-        (F.sum("c_cur").over(w)).alias("cum_cur"),
-        (F.sum("c_base").over(w)).alias("cum_base"),
-    ).crossJoin(F.broadcast(totals))
+
+    spark = merged.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = merged.repartitionByRange(n_parts, "x").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # consumed twice (local cumsum + partition totals): keep the range
+    # shuffle's result
+    ranged = ranged.persist()
+    ranged.count()
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "__pid",
+        F.sum("c_cur").over(w_local).alias("lc_cur"),
+        F.sum("c_base").over(w_local).alias("lc_base"),
+    )
+    # per-partition totals → exclusive prefix offsets (rows = #partitions,
+    # so the ordered window here is trivially small)
+    w_prev = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("c_cur").alias("t_cur"), F.sum("c_base").alias("t_base"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("t_cur").over(w_prev), F.lit(0)).alias("off_cur"),
+            F.coalesce(F.sum("t_base").over(w_prev), F.lit(0)).alias("off_base"),
+        )
+    )
+    ecdf = (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            (F.col("lc_cur") + F.col("off_cur")).alias("cum_cur"),
+            (F.col("lc_base") + F.col("off_base")).alias("cum_base"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
     return ecdf.select(
         F.abs(
             F.col("cum_cur") / F.col("n_cur") - F.col("cum_base") / F.col("n_base")

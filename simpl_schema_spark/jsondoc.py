@@ -87,6 +87,38 @@ def json_violations_column(
             arrays.append(
                 F.array(chain[0] if len(chain) == 1 else F.coalesce(*chain))
             )
+        # per-ELEMENT item checks for declared arrays: array<variant>
+        # extraction keeps each element's JSON token; violations get
+        # concrete-index names (validateField.ts:293-306)
+        item_key = f"{k}.$"
+        has_item_rules = (
+            item_key in comp.merged
+            and not is_blackboxed(item_key)
+            and comp.value_error(
+                k, F.lit('"probe"'), F.lit("probe"), F.lit("$set"), as_item=True
+            )
+            is not None
+        )
+        if has_item_rules:
+            elems = F.try_variant_get(var, _variant_path(k), "array<variant>")
+            per_elem = F.filter(
+                F.transform(
+                    elems,
+                    lambda e, i: comp.value_error(
+                        k,
+                        F.to_json(e),
+                        F.concat(F.lit(k + "."), i.cast("string")),
+                        F.lit("$set"),
+                        as_item=True,
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            arrays.append(
+                F.when(elems.isNotNull(), per_elem).otherwise(
+                    F.array().cast(f"array<{VIOLATION_SCHEMA.simpleString()}>")
+                )
+            )
         if any(
             isinstance(a.get("type"), SimpleSchema) or a.get("type") is ObjectType
             for a in alts

@@ -77,6 +77,7 @@ def run_partitioned_validation(
     id_cols: Iterable[str] = ("url",),
     run_id: Optional[str] = None,
     max_partitions: Optional[int] = None,
+    single_pass: bool = False,
 ) -> PartitionedValidationRun:
     """Validate ``df`` partition-by-partition, resumably.
 
@@ -84,6 +85,14 @@ def run_partitioned_validation(
     partitioning of the north rule.  Each pending partition gets: violation
     rows written under ``violations/part_key=<v>/``, one metrics row, one
     manifest row.  Already-done partitions are skipped.
+
+    ``single_pass=True`` processes ALL pending partitions in ONE Spark job
+    (dynamic-partition overwrite + one grouped metrics aggregation) instead
+    of one job per partition — the right shape when the input source can't
+    prune partitions (each loop iteration would rescan the table) or when
+    hundreds of partitions are pending.  Tradeoff: the job's output commits
+    atomically, so a mid-run crash reprocesses every pending partition on
+    resume (the loop resumes at single-partition granularity).
     """
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -109,6 +118,71 @@ def run_partitioned_validation(
 
     id_cols = list(id_cols)
     completed: list[str] = []
+
+    if single_pass and pending:
+        t0 = time.perf_counter()
+        batch = keyed.where(F.col(partition_col).isin(*pending))
+        if injected:
+            validated = with_violations(
+                batch.drop(partition_col), schema
+            ).withColumn(partition_col, partition_expr)
+        else:
+            validated = with_violations(batch, schema)
+        viols = validated.select(
+            *id_cols,
+            F.col(partition_col),
+            F.explode("violations").alias("violation"),
+        ).select(*id_cols, partition_col, "violation.*")
+        (
+            viols.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(f"{output_dir}/violations")
+        )
+        stats_rows = (
+            validated.groupBy(partition_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.size("violations")).alias("n_violations"),
+                F.sum((F.size("violations") > 0).cast("long")).alias(
+                    "n_invalid_rows"
+                ),
+            )
+            .collect()
+        )
+        wall = round(time.perf_counter() - t0, 3)
+        by_part = {r[partition_col]: r for r in stats_rows}
+        metrics = [
+            (
+                run_id,
+                p,
+                by_part[p].n_rows if p in by_part else 0,
+                int(by_part[p].n_violations or 0) if p in by_part else 0,
+                int(by_part[p].n_invalid_rows or 0) if p in by_part else 0,
+                wall,
+            )
+            for p in pending
+        ]
+        spark.createDataFrame(
+            metrics,
+            "run_id string, part_key string, n_rows bigint, n_violations bigint, "
+            "n_invalid_rows bigint, wall_sec double",
+        ).withColumn("completed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(f"{output_dir}/metrics")
+        spark.createDataFrame(
+            [(run_id, p, "done") for p in pending],
+            "run_id string, part_key string, status string",
+        ).withColumn("completed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(f"{output_dir}/manifest")
+        return PartitionedValidationRun(
+            run_id=run_id,
+            completed=list(pending),
+            skipped=[p for p in all_parts if p in done],
+            output_dir=output_dir,
+        )
+
     for part in pending:
         t0 = time.perf_counter()
         slice_df = keyed.where(F.col(partition_col) == part)

@@ -82,3 +82,19 @@ class TestJsonDocMode:
             (1, "age", "expectedType"),
             (1, "extra", "keyNotInSchema"),
         ]
+
+    def test_array_item_checks(self, spark):
+        # per-element item checks with concrete-index names
+        got = run(
+            spark,
+            ['{"name": "ok", "tags": ["fine", 5]}',
+             '{"name": "ok", "tags": ["a", "b"]}'],
+            schema(),
+        )
+        assert got == [(0, "tags.1", "expectedType")]
+
+    def test_array_item_and_count_together(self, spark):
+        got = run(
+            spark, ['{"name": "ok", "tags": [1, "a", "b"]}'], schema()
+        )
+        assert got == [(0, "tags", "maxCount"), (0, "tags.0", "expectedType")]

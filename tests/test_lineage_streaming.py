@@ -138,3 +138,56 @@ class TestStatefulStreaming:
         assert got["host0.example"][1] >= 5
         # every emitted host crossed the threshold
         assert all(v >= 5 for (_, v) in got.values())
+
+
+class TestSinglePassRuns:
+    def test_single_pass_equivalent_and_resumable(self, spark, tmp_path):
+        out1 = str(tmp_path / "loop")
+        out2 = str(tmp_path / "single")
+        docs = generate_documents(spark, 6000).where(
+            F.to_date("warc_ts").isin("2024-01-01", "2024-01-02", "2024-01-03")
+        )
+        r_loop = run_partitioned_validation(docs, documents_schema(), out1)
+        r_sp = run_partitioned_validation(
+            docs, documents_schema(), out2, single_pass=True
+        )
+        assert sorted(r_sp.completed) == sorted(r_loop.completed)
+
+        v1 = spark.read.parquet(f"{out1}/violations")
+        v2 = spark.read.parquet(f"{out2}/violations")
+        cols = sorted(v1.columns)
+        assert sorted(v2.columns) == cols
+        rows1 = sorted(tuple(str(r[c]) for c in cols) for r in v1.collect())
+        rows2 = sorted(tuple(str(r[c]) for c in cols) for r in v2.collect())
+        assert rows1 == rows2
+        # no spurious part_key violations in single-pass mode either
+        assert v2.where(F.col("name") == "part_key").count() == 0
+
+        m1 = {r.part_key: (r.n_rows, r.n_violations, r.n_invalid_rows)
+              for r in spark.read.parquet(f"{out1}/metrics").collect()}
+        m2 = {r.part_key: (r.n_rows, r.n_violations, r.n_invalid_rows)
+              for r in spark.read.parquet(f"{out2}/metrics").collect()}
+        assert m1 == m2
+
+        # resume: single-pass run over the same output skips everything
+        r_again = run_partitioned_validation(
+            docs, documents_schema(), out2, single_pass=True
+        )
+        assert r_again.completed == []
+        assert sorted(r_again.skipped) == sorted(r_sp.completed)
+
+    def test_single_pass_after_partial_loop(self, spark, tmp_path):
+        out = str(tmp_path / "mixed")
+        docs = generate_documents(spark, 6000).where(
+            F.to_date("warc_ts").isin("2024-01-01", "2024-01-02", "2024-01-03")
+        )
+        r1 = run_partitioned_validation(
+            docs, documents_schema(), out, max_partitions=1
+        )
+        r2 = run_partitioned_validation(
+            docs, documents_schema(), out, single_pass=True
+        )
+        assert len(r1.completed) == 1 and len(r2.completed) == 2
+        assert set(r2.completed).isdisjoint(r1.completed)
+        v = spark.read.parquet(f"{out}/violations")
+        assert v.select("part_key").distinct().count() == 3
