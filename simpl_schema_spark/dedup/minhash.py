@@ -150,22 +150,28 @@ def minhash_near_duplicates(
     of true Jaccard).
     """
     rows_per_band = num_perm // bands
-    # Materialize the shingle set in its OWN projection: the signature
-    # references it num_perm times, and inlining would recompute the
-    # normalize/tokenize/ngram pipeline once per permutation per row
-    # (Catalyst keeps multi-referenced projections separate by default —
-    # spark.sql.optimizer.collapseProjectAlwaysInline=false).
-    sets = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
+    # Materialize the shingle set BEFORE the signature projection: the
+    # signature references `sh` twice (size guard + hash traversal) and the
+    # tokenize/ngram pipeline is itself multi-referenced — fusing everything
+    # into one projection re-evaluates the expensive text pipeline several
+    # times per row (measured 3x wall at sf0.1).  persist + count pins the
+    # computed arrays.
+    sets = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        .persist()
     )
+    sets.count()
     sigs = sets.select(
         "id", minhash_signature(F.col("sh"), num_perm).alias("sig")
     ).where(F.col("sig").isNotNull())
     # signatures are consumed four times (bucket count + collect + both
     # verify sides): persist AND materialize eagerly — independent stages of
     # one action otherwise race to populate the cache, duplicating the
-    # shingle+hash pipeline (same pattern as persisting an MLlib feature DF
+    # signature pipeline (same pattern as persisting an MLlib feature DF
     # before a self-join)
     sigs = sigs.persist()
     sigs.count()

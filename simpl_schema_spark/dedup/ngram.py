@@ -47,12 +47,23 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 100,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs ``(id_a, id_b, jaccard)`` ≥ threshold."""
-    sets = (
+    # string shingles materialized FIRST (the tokenize/ngram pipeline is
+    # multi-referenced; fusing it into downstream projections re-evaluates
+    # it per reference — see minhash.py), then hashed in a second projection
+    raw = (
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
+            shingles(F.col(text_col), k).alias("g"),
+        )
+        .persist()
+    )
+    raw.count()
+    sets = (
+        raw.select(
+            "id",
             F.array_distinct(
-                F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+                F.transform(F.col("g"), lambda s: F.xxhash64(s))
             ).alias("sh"),
         )
         .where(F.size("sh") > 0)

@@ -95,19 +95,28 @@ def simhash_near_duplicates(
     """
     chunk_bits = _BITS // bands
     mask = (1 << chunk_bits) - 1
-    token_hashes = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_tokens(normalized_text(F.col(text_col))), lambda t: F.xxhash64(t)
-        ).alias("th"),
+    # materialize token hashes BEFORE the fingerprint projection: the
+    # fingerprint references `th` twice (size + aggregate) and fusing it
+    # with the tokenize pipeline re-evaluates the text processing per
+    # reference (see minhash.py — measured 3x wall)
+    token_hashes = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_tokens(normalized_text(F.col(text_col))), lambda t: F.xxhash64(t)
+            ).alias("th"),
+        )
+        .persist()
     )
+    token_hashes.count()
     sigs = (
         token_hashes.select(
             "id", simhash_from_hashes(F.col("th")).alias("sh")
         )
         .where(F.col("sh").isNotNull())
         # consumed twice by the bounded bucket builder (count + collect):
-        # persist so the tokenize+fingerprint pipeline runs once
+        # persist so the fingerprint pipeline runs once
         .persist()
     )
     sigs.count()  # materialize before the multi-consumer DAG (see ngram.py)
