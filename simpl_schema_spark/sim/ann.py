@@ -27,6 +27,7 @@ __all__ = [
     "dot",
     "l2_norm",
     "cosine",
+    "topk_per_query",
     "cosine_topk_bruteforce",
     "random_hyperplane_signature",
     "embedding_near_duplicates",
@@ -48,6 +49,48 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Bounded two-stage per-query top-k over ``(query_id, neighbor_id, score)``.
+
+    A single ``groupBy(query_id).agg(slice(sort_array(collect_list(...))))``
+    buffers EVERY scored candidate for a query on one reducer — O(corpus) state
+    at 10^12 rows.  Instead:
+
+    1. **partial top-k** per ``(query_id, spark_partition_id())``: each group
+       lives entirely inside one map task, so its aggregation state is bounded
+       by one input partition (itself bounded by
+       ``spark.sql.files.maxPartitionBytes``), and only the sliced ``k``
+       structs per (query, partition) survive into stage 2;
+    2. **final merge** per ``query_id``: flattens ≤ k × #partitions structs —
+       bounded regardless of corpus size — and slices the global top k.
+
+    Ordering matches the SQL oracle (``row_number() over (order by score
+    desc, neighbor_id)``): sort ascending on ``(-score, neighbor_id)`` so
+    score ties break by ascending neighbor id deterministically.
+    """
+    key = F.struct(
+        F.negate(F.col("score")).alias("nscore"), F.col("neighbor_id")
+    )
+    partial = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("partial"))
+    return (
+        partial.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("partial"))), 1, k
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("rank0", "t"))
+        .select(
+            "query_id",
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            F.negate(F.col("t.nscore")).alias("score"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )
 
 
 def cosine_topk_bruteforce(
@@ -78,29 +121,8 @@ def cosine_topk_bruteforce(
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    # per-query top-k as an aggregation (combiner-friendly, no global sort):
-    # collect (score, id) structs, keep the k largest per group
-    topk = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("score"), F.col("neighbor_id"))),
-                    asc=False,
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.posexplode("top").alias("rank0", "t"))
-        .select(
-            "query_id",
-            F.col("t.neighbor_id").alias("neighbor_id"),
-            F.col("t.score").alias("score"),
-            (F.col("rank0") + 1).alias("rank"),
-        )
-    )
-    return topk
+    # bounded two-stage per-query top-k (no O(corpus) reducer buffer)
+    return topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -25,7 +25,7 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from .ann import cosine
+from .ann import cosine, topk_per_query
 
 __all__ = ["train_centroids", "with_cluster_id", "ivf_topk"]
 
@@ -142,23 +142,7 @@ def ivf_topk(
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    return (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("score"), F.col("neighbor_id"))),
-                    asc=False,
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.posexplode("top").alias("rank0", "t"))
-        .select(
-            "query_id",
-            F.col("t.neighbor_id").alias("neighbor_id"),
-            F.col("t.score").alias("score"),
-            (F.col("rank0") + 1).alias("rank"),
-        )
-    )
+    # bounded two-stage per-query top-k (see ann.topk_per_query): stage-1
+    # state is bounded by one input partition, stage-2 by k × #partitions —
+    # never by the probed-cell candidate count
+    return topk_per_query(scored, k)
