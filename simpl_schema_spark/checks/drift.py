@@ -224,8 +224,12 @@ def numeric_drift_ks_exact(
         )
         .crossJoin(F.broadcast(totals))
     )
-    return ecdf.select(
+    out = ecdf.select(
         F.abs(
             F.col("cum_cur") / F.col("n_cur") - F.col("cum_base") / F.col("n_base")
         ).alias("gap")
     ).agg(F.max("gap").alias("ks_statistic"))
+    # materialize the 1-row statistic, then drop the range-shuffle cache
+    from ..cache import materialize_and_release
+
+    return materialize_and_release(out, ranged)

@@ -31,12 +31,21 @@ def exact_duplicate_groups(
     *,
     normalize: bool = True,
     verify: bool = True,
+    max_group_ids: Optional[int] = None,
 ) -> DataFrame:
     """Groups of ids sharing identical (normalized) content.
 
     Output: ``(fp, n_docs, doc_ids array)`` for groups with n_docs > 1.
     ``verify`` adds a second independent hash so 64-bit collisions can't
     merge distinct content (they'd disagree on fp2).
+
+    ``max_group_ids`` is the scale-safe reporting mode: ``doc_ids`` keeps
+    only the ``max_group_ids`` smallest ids per group (``n_docs`` stays the
+    exact count).  A degenerate corpus — one boilerplate page duplicated
+    10^8 times — would otherwise materialize one huge array in a single
+    aggregation buffer.  Bounding uses the same two-stage shape as the ANN
+    top-k: a partial sorted slice per (group, input partition) — state
+    bounded by one partition — then a merge over ≤ cap × #partitions ids.
     """
     src = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     keyed = df.where(F.col(text_col).isNotNull()).select(
@@ -45,11 +54,31 @@ def exact_duplicate_groups(
         *( [F.md5(src).alias("fp2")] if verify else [] ),
     )
     group_keys = ["fp", "fp2"] if verify else ["fp"]
+    if max_group_ids is None:
+        return (
+            keyed.groupBy(*group_keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            )
+            .where(F.col("n_docs") > 1)
+            .select("fp", "n_docs", "doc_ids")
+        )
+    partial = keyed.groupBy(*group_keys, F.spark_partition_id().alias("_pid")).agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, max_group_ids
+        ).alias("ids_part"),
+    )
     return (
-        keyed.groupBy(*group_keys)
+        partial.groupBy(*group_keys)
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sum("n_part").alias("n_docs"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ids_part"))),
+                1,
+                max_group_ids,
+            ).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
         .select("fp", "n_docs", "doc_ids")

@@ -192,7 +192,11 @@ def minhash_near_duplicates(
         )
         / F.lit(num_perm)
     )
-    return (
+    out = (
         joined.select("id_a", "id_b", est.alias("jaccard_est"))
         .where(F.col("jaccard_est") >= threshold)
     )
+    # materialize the (small) pair result, then drop the intermediate caches
+    from ..cache import materialize_and_release
+
+    return materialize_and_release(out, sets, sigs)

@@ -135,9 +135,12 @@ def ngram_jaccard_pairs(
             "id_b",
         )
     )
-    # candidate metadata is a few ints per pair; persist so the fast and
-    # slow branches below don't each recompute the pair/meta shuffles
+    # candidate metadata is a few ints per pair; persist AND materialize so
+    # the fast and slow branches below (both triggered by ONE downstream
+    # action) don't race to populate the cache and recompute the pair/meta
+    # shuffles each
     cand = cand.persist()
+    cand.count()
     # neither side lost shingles → c == |A∩B|, Jaccard exact from counts
     count_exact = F.least("d_a", "d_b") == 0
     j_count = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
@@ -158,4 +161,8 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return fast.unionByName(slow)
+    # materialize the (small) pair result, then drop the intermediate caches
+    # so composed pipelines don't accumulate cached partitions
+    from ..cache import materialize_and_release
+
+    return materialize_and_release(fast.unionByName(slow), raw, sets, cand)

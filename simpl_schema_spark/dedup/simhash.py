@@ -164,4 +164,8 @@ def simhash_near_duplicates(
             )
         ).alias("p")
     ).select("p.*")
-    return pairs.where(F.col("hamming") <= max_hamming).distinct()
+    out = pairs.where(F.col("hamming") <= max_hamming).distinct()
+    # materialize the (small) pair result, then drop the intermediate caches
+    from ..cache import materialize_and_release
+
+    return materialize_and_release(out, token_hashes, sigs)

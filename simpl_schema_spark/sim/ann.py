@@ -233,4 +233,7 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
-    return pairs
+    # materialize the (small) pair result, then drop the signature cache
+    from ..cache import materialize_and_release
+
+    return materialize_and_release(pairs, sigs)

@@ -72,6 +72,24 @@ class TestExactDedup:
         kept = sorted(r.doc_id for r in dedup_exact(docs3).collect())
         assert kept == [1, 3, 4, 5]
 
+    def test_bounded_groups_cap_degenerate_group(self, spark):
+        # one boilerplate page duplicated far beyond the cap: output row
+        # stays bounded (cap smallest ids) while n_docs is the exact count
+        n, cap = 5000, 8
+        rows = [(i, DOC) for i in range(n)] + [(n, DOC_OTHER), (n + 1, DOC_OTHER)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(16)
+        groups = {
+            r.n_docs: r.doc_ids
+            for r in exact_duplicate_groups(df, max_group_ids=cap).collect()
+        }
+        assert groups[n] == list(range(cap))
+        assert groups[2] == [n, n + 1]
+
+    def test_bounded_groups_match_unbounded_when_under_cap(self, spark, docs3):
+        bounded = exact_duplicate_groups(docs3, max_group_ids=100).collect()
+        assert len(bounded) == 1 and bounded[0].doc_ids == [1, 2]
+        assert bounded[0].n_docs == 2
+
 
 class TestMinHash:
     def test_near_dups_found(self, spark, docs3):
