@@ -60,6 +60,9 @@ class ErrorTypes:
     DUPLICATE_KEY = "duplicateKey"
     BROKEN_REFERENCE = "brokenReference"
     DISTRIBUTION_DRIFT = "distributionDrift"
+    #: dynamic JSON document mode only: the json_blob column failed to parse
+    #: (the reference operates on live JS objects, so no analog exists)
+    MALFORMED_JSON = "malformedJson"
 
 
 #: Field order is part of the contract: violations arrays are built in

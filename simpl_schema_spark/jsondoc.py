@@ -47,13 +47,19 @@ def json_violations_column(
 ) -> Column:
     """``array<violation>`` for one JSON-document column."""
     comp = _ModifierCompiler(schema)
-    var = F.parse_json(json_col)
+    # try_parse_json: heterogeneous crawl payloads WILL contain malformed
+    # rows; a null variant yields one malformedJson violation (below)
+    # instead of failing the whole job
+    var = F.try_parse_json(json_col)
     blackbox = set(schema.blackbox_keys())
 
-    optional_map = {
-        k: bool(d.get("optional", False)) if not callable(d.get("optional")) else False
-        for k, d in comp.merged.items()
-    }
+    def _optional(d: dict) -> bool:
+        # callable `optional` evaluated like the fixed-column compiler
+        # (compiler/compile.py:401-403): bool(optional())
+        opt = d.get("optional", False)
+        return bool(opt()) if callable(opt) else bool(opt)
+
+    optional_map = {k: _optional(d) for k, d in comp.merged.items()}
 
     def is_blackboxed(key: str) -> bool:
         return any(key == b or key.startswith(b + ".") for b in blackbox)
@@ -164,7 +170,12 @@ def json_violations_column(
         )
 
     combined = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    return F.array_compact(combined)
+    # malformed document: one malformedJson violation, nothing else (the
+    # per-key chains would otherwise cascade spurious `required` rows)
+    return F.when(
+        json_col.isNotNull() & var.isNull(),
+        F.array(violation(F.lit("$"), ErrorTypes.MALFORMED_JSON)),
+    ).otherwise(F.array_compact(combined))
 
 
 def validate_json_column(

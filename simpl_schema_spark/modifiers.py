@@ -452,13 +452,17 @@ def _expand_object_set_rows(
             }
         )
         v = F.col("value")
+        # try_parse_json: a truncated '{...' token passes the cheap shape
+        # check but must not kill the job — unparseable tokens simply don't
+        # expand into child rows (the parent value keeps its own checks)
+        var = F.try_parse_json(v)
         rows_k = all_rows.where(
             (_generic_key(F.col("key_path")) == k)
             & F.col("op").isin(*OPS_SET)
             & _is_json_object(v)
             & ~_is_ext_date(v)
+            & var.isNotNull()
         )
-        var = F.parse_json(v)
         children = [
             F.struct(
                 F.concat(F.col("key_path"), F.lit("." + n)).alias("key_path"),
@@ -799,7 +803,9 @@ def clean_modifier_table(
         child_names = sorted(
             {c[len(prefix):].split(".")[0] for c in comp.merged if c.startswith(prefix)}
         )
-        var = F.parse_json(token)
+        # try_parse_json: malformed '{...' input is returned untouched (the
+        # var.isNotNull() guard below) instead of crashing the projection
+        var = F.try_parse_json(token)
         fragments = []
         for n in child_names:
             child_key = f"{k}.{n}"
@@ -829,7 +835,8 @@ def clean_modifier_table(
             F.lit("}"),
         )
         return F.when(
-            _is_json_object(token) & ~_is_ext_date(token), rebuilt
+            _is_json_object(token) & ~_is_ext_date(token) & var.isNotNull(),
+            rebuilt,
         ).otherwise(token)
 
     cleaned = v

@@ -98,3 +98,29 @@ class TestJsonDocMode:
             spark, ['{"name": "ok", "tags": [1, "a", "b"]}'], schema()
         )
         assert got == [(0, "tags", "maxCount"), (0, "tags.0", "expectedType")]
+
+
+class TestJsonRobustness:
+    def test_malformed_json_single_violation(self, spark):
+        # truncated / invalid JSON must not kill the job (try_parse_json):
+        # exactly one malformedJson row, no spurious required cascade
+        got = run(
+            spark,
+            ['{"name": "ok"', 'not json at all', '{"name": "ok"}'],
+            schema(),
+        )
+        assert got == [
+            (0, "$", "malformedJson"),
+            (1, "$", "malformedJson"),
+        ]
+
+    def test_callable_optional_evaluated(self, spark):
+        # callable optional follows the fixed-column compiler: bool(optional())
+        ss = SimpleSchema(
+            {
+                "a": {"type": str, "optional": lambda: True},
+                "b": {"type": str, "optional": lambda: False},
+            }
+        )
+        got = run(spark, ["{}"], ss)
+        assert got == [(0, "b", "required")]

@@ -451,3 +451,31 @@ class TestObjectValuedSetCleaning:
         )
         cleaned = clean_modifier_table(df, self._schema())
         assert validate_modifier_table(cleaned, self._schema()).collect() == []
+
+
+class TestMalformedObjectTokens:
+    """Truncated '{...' values pass the cheap shape check but must not kill
+    the job (try_parse_json): validation skips child expansion; clean returns
+    the token untouched."""
+
+    def _schema(self):
+        return SimpleSchema(
+            {
+                "a": {"type": dict},
+                "a.b": str,
+            }
+        )
+
+    def test_validate_malformed_object_no_crash(self, spark):
+        got = run(spark, [(1, "$set", "a", '{"b": ', False)], self._schema())
+        # no child expansion from the unparseable token, and no exception
+        assert all(name != "a.b" for (_, name, _t) in got)
+
+    def test_clean_malformed_object_untouched(self, spark):
+        from simpl_schema_spark.modifiers import clean_modifier_table
+
+        df = spark.createDataFrame(
+            [(1, "$set", "a", '{"b": ', False)], MOD_DDL
+        )
+        out = clean_modifier_table(df, self._schema()).collect()
+        assert out[0].value == '{"b": '
