@@ -379,11 +379,15 @@ def q_validate_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
             "n": {"type": int, "min": 0, "max": _NCHARS_MAX},
+            "tags": {"type": SimpleSchema.Array, "optional": True},
+            "tags.$": {"type": str, "max": 4},
         }
     )
     d = _docs(spark, sf_dir)
     # deterministic heterogeneity: %7 adds an unknown key, %11 omits required
-    # lang, %13 makes n a wrong-typed string
+    # lang, %13 makes n a wrong-typed string, %5 adds a tags array whose
+    # elements get per-element value rules (concrete-index names: tags.1
+    # maxString for 5-char sources, tags.2 expectedType for the %10 numeric)
     blob = F.concat(
         F.lit("{"),
         F.when(F.col("doc_id") % 11 == 0, F.lit("")).otherwise(
@@ -393,6 +397,15 @@ def q_validate_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 13 == 0, F.lit('"oops"')).otherwise(
             F.col("n_chars").cast("string")
         ),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(
+                   F.lit(', "tags": ["'), F.col("lang"), F.lit('", "'),
+                   F.col("source"), F.lit('"'),
+                   F.when(F.col("doc_id") % 10 == 0,
+                          F.concat(F.lit(", "), F.col("n_chars").cast("string"))
+                          ).otherwise(F.lit("")),
+                   F.lit("]"),
+               )).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 7 == 0, F.lit(', "extra": 1')).otherwise(F.lit("")),
         F.lit("}"),
     )
@@ -490,6 +503,12 @@ def oracle_sql() -> dict[str, str]:
             union all
             select doc_id, 'extra', 'keyNotInSchema'
               from documents where doc_id % 7 = 0
+            union all
+            select doc_id, 'tags.1', 'maxString'
+              from documents where doc_id % 5 = 0 and length(source) > 4
+            union all
+            select doc_id, 'tags.2', 'expectedType'
+              from documents where doc_id % 10 = 0
         """,
         "validate_documents": f"""
             select doc_id, 'text' as name, 'minString' as type, text as value

@@ -124,3 +124,101 @@ class TestJsonRobustness:
         )
         got = run(spark, ["{}"], ss)
         assert got == [(0, "b", "required")]
+
+
+class TestJsonCustomValidators:
+    """Custom validators over json_blob columns (reference runs the full
+    validator chain regardless of document shape, validateField.ts:192-226)."""
+
+    def test_python_field_validator(self, spark):
+        def no_admin(v):
+            if v == "admin":
+                return "notAllowed"
+            return None
+
+        ss = SimpleSchema({"user": {"type": str, "custom": no_admin}})
+        got = run(spark, ['{"user": "admin"}', '{"user": "bob"}'], ss)
+        assert got == [(0, "user", "notAllowed")]
+
+    def test_python_validator_runs_when_absent(self, spark):
+        # custom validators run even when the key is missing (fixed-column
+        # compiler parity: custom runs on !isSet)
+        def must_exist(v):
+            return "required" if v is None else None
+
+        ss = SimpleSchema(
+            {"x": {"type": str, "optional": True, "custom": must_exist}}
+        )
+        got = run(spark, ["{}"], ss)
+        assert got == [(0, "x", "required")]
+
+    def test_cross_field_context(self, spark):
+        def end_after_start(v, ctx):
+            start = ctx.field("start")
+            if v is not None and start is not None and v < start:
+                return "minNumber"
+            return None
+
+        ss = SimpleSchema(
+            {
+                "start": {"type": int},
+                "end": {"type": int, "custom": end_after_start},
+            }
+        )
+        got = run(
+            spark,
+            ['{"start": 5, "end": 3}', '{"start": 1, "end": 3}'],
+            ss,
+        )
+        assert got == [(0, "end", "minNumber")]
+
+    def test_spark_rule_field_validator(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.compiler.compile import spark_rule
+
+        @spark_rule
+        def even_only(value, ctx):
+            return F.when(value % 2 != 0, F.lit("notAllowed"))
+
+        ss = SimpleSchema({"n": {"type": int, "custom": even_only}})
+        got = run(spark, ['{"n": 3}', '{"n": 4}'], ss)
+        assert got == [(0, "n", "notAllowed")]
+
+    def test_python_item_validator(self, spark):
+        def no_empty(v):
+            return "minString" if v == "" else None
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array},
+                "tags.$": {"type": str, "custom": no_empty},
+            }
+        )
+        got = run(spark, ['{"tags": ["ok", "", "also"]}'], ss)
+        assert got == [(0, "tags.1", "minString")]
+
+    def test_item_builtin_and_custom_coalesce(self, spark):
+        # one error per concrete element key: builtin expectedType wins on
+        # element 0, custom fires on element 1
+        def no_empty(v):
+            return "minString" if v == "" else None
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array},
+                "tags.$": {"type": str, "custom": no_empty},
+            }
+        )
+        got = run(spark, ['{"tags": [7, ""]}'], ss)
+        assert got == [
+            (0, "tags.0", "expectedType"),
+            (0, "tags.1", "minString"),
+        ]
+
+    def test_custom_skips_malformed_doc(self, spark):
+        def boom(v):
+            return "notAllowed"
+
+        ss = SimpleSchema({"x": {"type": str, "optional": True, "custom": boom}})
+        got = run(spark, ['{"x": '], ss)
+        assert got == [(0, "$", "malformedJson")]
