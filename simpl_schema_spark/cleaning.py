@@ -343,12 +343,18 @@ class PythonAutoValueContext:
     (src/clean/AutoValueRunner.ts:42-147): ``value``, ``is_set``,
     ``field(path)``, ``sibling_field(name)``, ``unset()``.
 
-    Return ``ctx.UNCHANGED`` (or simply don't return) to leave the value as
-    is; return any other value (including ``None``) to set it; call
-    ``ctx.unset()`` to remove the value (NULL in columnar form).
+    Return ``ctx.UNCHANGED`` to leave the value as is (the analog of the
+    reference's ``return undefined``; Python's bare ``return`` yields None,
+    so the sentinel must be explicit); return any other value — INCLUDING
+    ``None``, which sets SQL NULL like the reference's ``return null``
+    (AutoValueRunner.ts:146) — to set it; call ``ctx.unset()`` to remove
+    the value (also NULL in columnar form).
     """
 
-    UNCHANGED = object()
+    class UNCHANGED:
+        """Sentinel: a CLASS (not an instance) so pickling the autoValue
+        closure to executors preserves identity — classes unpickle by
+        module reference, so ``res is ctx.UNCHANGED`` holds on workers."""
 
     __slots__ = ("key", "value", "row", "_unset")
 
@@ -401,9 +407,10 @@ def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame
             if ctx._unset:
                 # this.unset() → value removed (NULL in columnar form)
                 out.append(None)
-            elif res is None or res is PythonAutoValueContext.UNCHANGED:
-                # reference: `return undefined` = no change; Python's bare
-                # return is None — to set SQL NULL, call ctx.unset()
+            elif res is PythonAutoValueContext.UNCHANGED:
+                # reference `return undefined` = no change; Python has no
+                # undefined, so the sentinel is explicit — a bare `return`
+                # (None) SETS null, matching the reference's `return null`
                 out.append(v)
             else:
                 out.append(res)

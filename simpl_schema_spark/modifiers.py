@@ -30,6 +30,8 @@ import json
 from functools import reduce
 from typing import Any, Optional
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .compiler.compile import violation, _null_violation
@@ -910,7 +912,179 @@ def clean_modifier_table(
                     F.lit(True).alias("upsert"),
                 )
             )
+        out = _apply_modifier_auto_values(out, schema, id_col)
     return out
+
+
+class _ModifierAutoValueContext:
+    """Per-document autoValue context for modifier cleaning — mirrors the
+    reference AutoValueRunner context in modifier mode
+    (src/clean/AutoValueRunner.ts:42-147): ``value``/``is_set`` from the
+    key's operator entry, ``operator`` (the entry's op, ``$set`` for
+    unreferenced keys — reference positions generated for missing keys),
+    ``is_upsert``, ``field()``/``sibling_field()`` resolved from the
+    document's other operator entries, and ``unset()``."""
+
+    # shared sentinel (class → pickles by reference, identity-stable on
+    # executors); bound lazily to avoid a module-level cleaning import
+    @property
+    def UNCHANGED(self):
+        from .cleaning import PythonAutoValueContext
+
+        return PythonAutoValueContext.UNCHANGED
+
+    __slots__ = ("key", "value", "operator", "is_upsert", "_ents", "_unset",
+                 "_is_set")
+
+    def __init__(self, key, value, is_set, ents, upsert, operator):
+        self.key = key
+        self.value = value
+        self._is_set = is_set
+        self._ents = ents
+        self.is_upsert = upsert
+        self.operator = operator
+        self._unset = False
+
+    @property
+    def is_set(self) -> bool:
+        return self._is_set
+
+    def unset(self) -> None:
+        self._unset = True
+
+    def field(self, path: str):
+        ent = self._ents.get(path)
+        if ent is None or ent[0] not in _VALUE_OPS:
+            return None
+        return _decode_token(ent[1])
+
+    def sibling_field(self, name: str):
+        parent, _, _ = self.key.rpartition(".")
+        return self.field(f"{parent}.{name}" if parent else name)
+
+
+#: operators whose entries carry a usable value for autoValue contexts
+_VALUE_OPS = frozenset(
+    ("$set", "$setOnInsert", "$inc", "$push", "$addToSet", "$min", "$max",
+     "$mul")
+)
+
+
+def _decode_token(tok):
+    if tok is None:
+        return None
+    try:
+        return json.loads(tok)
+    except ValueError:
+        return None
+
+
+def _apply_modifier_auto_values(
+    out: DataFrame, schema: SimpleSchema, id_col: str
+) -> DataFrame:
+    """Run opaque Python autoValue fns against a modifier table, including
+    PSEUDO-MODIFIER returns (reference AutoValueRunner.ts:112-142): a fn may
+    return ``{"$inc": 1}`` / ``{"$push": ...}`` and the returned operator
+    replaces the key's current entry; a plain return sets the value under
+    the key's existing operator (``$set`` when unreferenced).  Contract
+    matches document mode: ``ctx.UNCHANGED`` = leave as is, ``None`` sets
+    JSON null, ``ctx.unset()`` removes the entry.
+
+    Shape: ONE groupBy(doc) collecting the (bounded, schema-sized) operator
+    entries + ONE Arrow-batched UDF evaluating every autoValue fn per doc +
+    one co-partitioned anti-join to drop replaced entries.  AutoValue keys
+    under arrays (``a.$``) are not supported in modifier mode."""
+    av_fns = [
+        (k, fn)
+        for k, fn in schema.auto_value_functions()
+        if "$" not in k and not getattr(fn, "is_default", False)
+    ]
+    if not av_fns:
+        return out
+    av_fns.sort(key=lambda kv: kv[0].count("."))
+    from .cleaning import PythonAutoValueContext
+
+    unchanged = PythonAutoValueContext.UNCHANGED
+
+    act_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("drop", T.BooleanType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        )
+    )
+
+    def run(entries, upsert):
+        ents = {}
+        for e in entries:
+            ents.setdefault(e["key"], (e["op"], e["value"]))
+        acts = []
+        for k, fn in av_fns:
+            op0, tok = ents.get(k, (None, None))
+            is_set = op0 in _VALUE_OPS
+            val = _decode_token(tok) if is_set else None
+            ctx = _ModifierAutoValueContext(
+                k, val, is_set, ents, bool(upsert), op0 or "$set"
+            )
+            res = fn(ctx)
+            new_op = new_val = None
+            if res is not unchanged:
+                if isinstance(res, dict) and any(
+                    str(p).startswith("$") for p in res
+                ):
+                    new_op = next(p for p in res if str(p).startswith("$"))
+                    new_val = json.dumps(res[new_op])
+                else:
+                    new_op = op0 if op0 in _VALUE_OPS else "$set"
+                    new_val = _default_as_json(res)
+                ents[k] = (new_op, new_val)
+            elif ctx._unset:
+                ents.pop(k, None)
+            drop = (op0 is not None) and (new_op is not None or ctx._unset)
+            if drop or new_op is not None:
+                acts.append(
+                    {"key": k, "drop": drop, "op": new_op, "value": new_val}
+                )
+        return acts
+
+    def _apply(entries: pd.Series, upserts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [run(e, u) for e, u in zip(entries, upserts)], dtype=object
+        )
+
+    udf = F.pandas_udf(_apply, act_t)
+
+    docs = out.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("op"), F.col("key_path").alias("key"), F.col("value")
+            )
+        ).alias("entries"),
+        F.max(F.col("upsert").cast("int")).cast("boolean").alias("upsert"),
+    )
+    acts = (
+        docs.select(
+            F.col(id_col),
+            F.col("upsert"),
+            F.explode(udf(F.col("entries"), F.col("upsert"))).alias("a"),
+        )
+        .select(id_col, "upsert", "a.*")
+        .persist()
+    )
+    acts.count()
+    drops = acts.where(F.col("drop")).select(id_col, F.col("key").alias("key_path"))
+    kept = out.join(drops, [id_col, "key_path"], "left_anti")
+    new_rows = acts.where(F.col("op").isNotNull()).select(
+        F.col(id_col),
+        F.col("op"),
+        F.col("key").alias("key_path"),
+        F.col("value"),
+        F.col("upsert"),
+    )
+    return kept.unionByName(new_rows.select(*out.columns))
 
 
 def _default_as_json(value: Any) -> str:

@@ -43,9 +43,10 @@ class TestPythonAutoValue:
         df = spark.createDataFrame([(None,)], "s string")
         assert _one(clean(df, ss))["s"] == "filled"
 
-    def test_return_none_means_unchanged(self, spark):
+    def test_return_unchanged_means_unchanged(self, spark):
+        # None now SETS null (reference parity); UNCHANGED is the no-op
         def noop(ctx):
-            return None
+            return ctx.UNCHANGED
 
         ss = SimpleSchema({"s": {"type": str, "autoValue": noop}})
         df = spark.createDataFrame([("keep",)], "s string")
@@ -55,6 +56,7 @@ class TestPythonAutoValue:
         def strip(ctx):
             if ctx.value == "secret":
                 ctx.unset()
+            return ctx.UNCHANGED
 
         ss = SimpleSchema({"s": {"type": str, "optional": True, "autoValue": strip}})
         df = spark.createDataFrame([("secret",), ("ok",)], "s string")
@@ -311,3 +313,98 @@ class TestDefaultValueUpsert:
         cleaned = clean_modifier_table(df, self._schema())
         # after default injection the upsert has every required key
         assert validate_modifier_table(cleaned, self._schema()).collect() == []
+
+
+class TestModifierAutoValues:
+    """autoValue fns over modifier tables, incl. pseudo-modifier returns
+    (reference AutoValueRunner.ts:112-142; test/clean/autoValue.tests.ts
+    'content updateCount' cases)."""
+
+    def _schema(self):
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def update_count(ctx):
+            if ctx.operator is None:
+                return 0
+            return {"$inc": 1}
+
+        def first_word(ctx):
+            content = ctx.field("content")
+            if content is not None:
+                return content.split(" ")[0]
+            ctx.unset()
+            return ctx.UNCHANGED
+
+        return SimpleSchema(
+            {
+                "content": {"type": str, "optional": True},
+                "name": {"type": str},
+                "updateCount": {"type": int, "autoValue": update_count},
+                "firstWord": {"type": str, "optional": True,
+                              "autoValue": first_word},
+            }
+        )
+
+    def _clean(self, spark, rows):
+        from simpl_schema_spark.modifiers import clean_modifier_table
+
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, op string, key_path string, value string, upsert boolean"
+        )
+        out = clean_modifier_table(df, self._schema())
+        return sorted(
+            (r.doc_id, r.op, r.key_path, r.value) for r in out.collect()
+        )
+
+    def test_pseudo_modifier_inc(self, spark):
+        got = self._clean(spark, [(1, "$set", "name", '"Test"', False)])
+        assert (1, "$inc", "updateCount", "1") in got
+        # name row untouched
+        assert (1, "$set", "name", '"Test"') in got
+
+    def test_pseudo_modifier_replaces_existing_entry(self, spark):
+        got = self._clean(
+            spark,
+            [(1, "$set", "name", '"Test"', False),
+             (1, "$set", "updateCount", "99", False)],
+        )
+        assert (1, "$inc", "updateCount", "1") in got
+        assert (1, "$set", "updateCount", "99") not in got
+
+    def test_plain_return_sets_from_cross_field(self, spark):
+        got = self._clean(
+            spark,
+            [(1, "$set", "name", '"Test"', False),
+             (1, "$set", "content", '"hello world"', False)],
+        )
+        assert (1, "$set", "firstWord", '"hello"') in got
+
+    def test_unset_removes_manual_value(self, spark):
+        got = self._clean(
+            spark,
+            [(1, "$set", "name", '"Test"', False),
+             (1, "$set", "firstWord", '"manual"', False)],
+        )
+        assert not any(k == "firstWord" for (_, _, k, _) in got)
+
+
+class TestAutoValueNullContract:
+    def test_return_none_sets_null(self, spark):
+        # reference `return null` sets null (AutoValueRunner.ts:146);
+        # UNCHANGED is the explicit no-op sentinel
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def nullify(ctx):
+            if ctx.value == "kill":
+                return None
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {"s": {"type": str, "optional": True, "autoValue": nullify}}
+        )
+        df = spark.createDataFrame([("kill",), ("ok",)], "s string")
+        vals = sorted(
+            (r.s is None, r.s) for r in clean(df, ss).collect()
+        )
+        assert vals == [(False, "ok"), (True, None)]
