@@ -47,6 +47,15 @@ HEADLINE = [
     "validate_modifiers",
 ]
 
+#: queries added in round 2+ — benched separately so the original 16-query
+#: total stays comparable across rounds (BENCH_r01/r02)
+HEADLINE_EXTRA = [
+    "ivf_topk",
+    "validate_object_set",
+    "validate_json_docs",
+    "embedding_near_dups",
+]
+
 
 def make_spark(cores: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
@@ -81,7 +90,7 @@ def run_headline() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_EXTRA:
         fn = qs[name]
         # best of 2 (+1 adaptive): this host suffers multi-x contention
         # bursts (identical runs range 2-10x — see BENCH/BASELINE.md); the
@@ -104,6 +113,7 @@ def run_headline() -> None:
         timings[name] = min(walls)
         total += min(walls)
     spark.stop()
+    legacy16 = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -111,6 +121,7 @@ def run_headline() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "legacy16_total": legacy16,
                 "sf": sf,
             }
         )

@@ -421,30 +421,136 @@ def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame
     return _set_path(df, key, lambda c: udf(c, ctx_struct))
 
 
+def _array_levels(key: str) -> tuple[str, list[str]]:
+    """``a.$.b.$.c`` → ``("a", ["b", "c"])``: the outer array path and the
+    per-level subpaths (last entry = leaf path inside the innermost
+    element, '' when the element itself is the value)."""
+    segments = key.split(".$")
+    return segments[0], [s.lstrip(".") for s in segments[1:]]
+
+
 def _array_item_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame:
     """Array-position autoValue write-back (getPositionsForAutoValue.ts:43-148)
-    for @spark_auto_value expression fns on ``arr.$`` / ``arr.$.field`` keys:
-    ``F.transform`` rebuilds each element (struct rebuilt via withField)."""
-    head, _, rest = key.partition(".$")
-    rest = rest.lstrip(".")
-    if "$" in rest:
+    for @spark_auto_value expression fns on ``arr.$`` / ``arr.$.field`` /
+    doubly-nested ``arr.$.sub.$.field`` keys: nested ``F.transform`` rebuilds
+    each element (structs rebuilt via withField)."""
+    head, mids = _array_levels(key)
+    if len(mids) > 2:
         raise NotImplementedError(
-            f"autoValue on doubly-nested array key {key!r} is not supported"
+            f"autoValue under >2 nested arrays ({key!r}) is not supported"
         )
     top = head.split(".")[0]
     if top not in df.columns:
         return df
 
-    def per_item(x: Column) -> Column:
-        ctx = AutoValueContext(key, x.getField(rest) if rest else x, df)
+    def leaf_item(x: Column, leaf: str) -> Column:
+        ctx = AutoValueContext(key, x.getField(leaf) if leaf else x, df)
         new_val = fn(ctx)
         if new_val is None:
             return x
-        return x.withField(rest, new_val) if rest else new_val
+        return x.withField(leaf, new_val) if leaf else new_val
+
+    if len(mids) == 1:
+        per_item = lambda x: leaf_item(x, mids[0])  # noqa: E731
+    else:
+        mid, leaf = mids
+
+        def per_item(x: Column) -> Column:
+            inner = x.getField(mid) if mid else x
+            rebuilt = F.when(
+                inner.isNotNull(),
+                F.transform(inner, lambda y: leaf_item(y, leaf)),
+            )
+            return x.withField(mid, rebuilt) if mid else rebuilt
 
     return _set_path(
         df, head, lambda arr: F.when(arr.isNotNull(), F.transform(arr, per_item))
     )
+
+
+def _apply_python_array_auto_value(
+    df: DataFrame, key: str, fn: Callable
+) -> DataFrame:
+    """Opaque Python autoValue on array-item keys (single or doubly nested):
+    ONE Arrow-batched UDF takes the whole OUTER array column and returns the
+    rebuilt array — per-leaf Python execution, zero explode/shuffle, same
+    shape as the array-item validator path."""
+    head, mids = _array_levels(key)
+    if len(mids) > 2:
+        raise NotImplementedError(
+            f"autoValue under >2 nested arrays ({key!r}) is not supported"
+        )
+    top = head.split(".")[0]
+    if top not in df.columns:
+        return df
+    import pandas as pd
+
+    arr_type = df.schema
+    for seg in head.split("."):
+        arr_type = arr_type[seg].dataType if isinstance(arr_type, T.StructType) else arr_type
+    declared = getattr(fn, "context_fields", None)
+    ctx_cols = list(declared) if declared else list(df.columns)
+    ctx_cols = [c for c in ctx_cols if not c.startswith("__")]
+
+    def get_sub(el, path):
+        if not path:
+            return el
+        cur = el
+        for seg in path.split("."):
+            if cur is None:
+                return None
+            cur = cur.get(seg) if isinstance(cur, dict) else getattr(cur, seg, None)
+        return cur
+
+    def set_sub(el, path, val):
+        if not path:
+            return val
+        d = dict(el) if isinstance(el, dict) else el.asDict(recursive=True)
+        segs = path.split(".")
+        cur = d
+        for seg in segs[:-1]:
+            nxt = cur.get(seg)
+            nxt = dict(nxt) if isinstance(nxt, dict) else {}
+            cur[seg] = nxt
+            cur = nxt
+        cur[segs[-1]] = val
+        return d
+
+    def run_leaf(el, leaf, row):
+        v = get_sub(el, leaf)
+        ctx = PythonAutoValueContext(key, v, row)
+        res = fn(ctx)
+        if ctx._unset:
+            return set_sub(el, leaf, None)
+        if res is PythonAutoValueContext.UNCHANGED:
+            return el
+        return set_sub(el, leaf, res)
+
+    def run_row(arr, row):
+        if arr is None:
+            return None
+        if len(mids) == 1:
+            return [run_leaf(el, mids[0], row) for el in arr]
+        mid, leaf = mids
+        out = []
+        for el in arr:
+            inner = get_sub(el, mid)
+            if inner is None:
+                out.append(el)
+                continue
+            rebuilt = [run_leaf(e2, leaf, row) for e2 in inner]
+            out.append(set_sub(el, mid, rebuilt))
+        return out
+
+    def _apply(arrs, ctx_rows):
+        rows = ctx_rows.to_dict("records")
+        return pd.Series(
+            [run_row(a, r) for a, r in zip(arrs, rows)], dtype=object
+        )
+
+    udf = F.pandas_udf(_apply, arr_type)
+    ctx_struct = F.struct(*[F.col(c).alias(c) for c in ctx_cols])
+    return _set_path(df, head, lambda arr: udf(arr, ctx_struct))
 
 
 def _apply_auto_values(df: DataFrame, schema: SimpleSchema) -> DataFrame:
@@ -470,10 +576,7 @@ def _apply_auto_values(df: DataFrame, schema: SimpleSchema) -> DataFrame:
 
                 df = _array_item_auto_value(df, key, _fill)
             else:
-                raise NotImplementedError(
-                    f"Python autoValue on array-item key {key!r}: use "
-                    "@spark_auto_value (expression) form"
-                )
+                df = _apply_python_array_auto_value(df, key, fn)
             continue
         top = key.split(".")[0]
         if top not in df.columns:

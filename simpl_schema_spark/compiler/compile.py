@@ -186,6 +186,10 @@ class _PandasRule:
     # array<string> (error type per element) — no explode, no shuffle
     elementwise: bool = False
     item_subpath: str = ""        # path inside each element ('' = the element)
+    # doubly-nested array-item rules (a.$.b.$.c): path from the OUTER
+    # element to the inner array; the UDF returns array<array<string>> and
+    # the nested lambdas pick entries by (outer, inner) index
+    nested_subpath: Optional[str] = None
 
 
 _NUMERIC_TYPES = (
@@ -646,21 +650,29 @@ class RuleCompiler:
 
         if in_lambda:
             # Array-item Python validator (validateField.ts:293-306): one
-            # Arrow-batched UDF over the WHOLE array column returns an
-            # error-type per element; the lambda picks its entry by index —
-            # no explode, no shuffle, violations keep concrete-index names.
-            if len(self._lambda_frames) != 1:
+            # Arrow-batched UDF over the WHOLE (outer) array column returns
+            # an error-type per element — array<string> for single-nested
+            # keys, array<array<string>> for doubly-nested (a.$.b.$.c) —
+            # and the lambda(s) pick entries by index: no explode, no
+            # shuffle, violations keep concrete-index names.  The reference
+            # recurses arbitrarily (getPositionsForAutoValue.ts:43-148);
+            # two levels cover its own deepest test schemas.
+            if len(self._lambda_frames) > 2:
                 raise NotImplementedError(
-                    f"Python custom validator on doubly-nested array key "
-                    f"{generic!r}; use @spark_rule (expression) form"
+                    f"Python custom validator under >2 nested arrays "
+                    f"({generic!r}); use @spark_rule (expression) form"
                 )
-            item_generic, idx = self._lambda_frames[-1]
-            array_path = item_generic[: -len(".$")]
-            if "$" in array_path:
-                raise NotImplementedError(
-                    f"Python custom validator under nested arrays "
-                    f"({generic!r}); use @spark_rule"
+            outer_generic, outer_idx = self._lambda_frames[0]
+            array_path = outer_generic[: -len(".$")]
+            nested_subpath = None
+            if len(self._lambda_frames) == 2:
+                inner_generic, inner_idx = self._lambda_frames[1]
+                nested_subpath = (
+                    inner_generic[len(outer_generic): -len(".$")].strip(".")
                 )
+                item_subpath = generic[len(inner_generic):].lstrip(".")
+            else:
+                item_subpath = generic[len(outer_generic):].lstrip(".")
             cache_key = (generic, id(custom))
             if cache_key in self._pandas_cache:
                 col_name = self._pandas_cache[cache_key]
@@ -679,11 +691,14 @@ class RuleCompiler:
                         input_cols=[array_path],
                         context_cols=context_cols,
                         elementwise=True,
-                        item_subpath=generic[len(item_generic):].lstrip("."),
+                        item_subpath=item_subpath,
+                        nested_subpath=nested_subpath,
                     )
                 )
                 self._pandas_cache[cache_key] = col_name
-            err_type = F.get(F.col(col_name), idx)
+            err_type = F.get(F.col(col_name), outer_idx)
+            if nested_subpath is not None:
+                err_type = F.get(err_type, inner_idx)
             return F.when(
                 err_type.isNotNull(),
                 violation(name, err_type, value=_stringify(value, dtype)),

@@ -39,10 +39,22 @@ from .validation import with_violations
 
 __all__ = ["PartitionedValidationRun", "run_partitioned_validation"]
 
+#: ``wall_scope`` disambiguates the wall_sec reading: 'partition' rows time
+#: one partition's job; 'batch' rows (single_pass mode) all share the whole
+#: batch's wall — per-partition attribution doesn't exist in a single job.
 _METRICS_DDL = (
     "run_id string, part_key string, n_rows bigint, n_violations bigint, "
-    "n_invalid_rows bigint, wall_sec double, completed_at timestamp"
+    "n_invalid_rows bigint, wall_sec double, wall_scope string"
 )
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Delete a directory through the Hadoop FileSystem API (works on any
+    supported FS, not just local paths); no-op if absent."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
 
 
 @dataclass
@@ -133,6 +145,15 @@ def run_partitioned_validation(
             F.col(partition_col),
             F.explode("violations").alias("violation"),
         ).select(*id_cols, partition_col, "violation.*")
+        # dynamic overwrite only rewrites partitions that PRODUCE rows this
+        # run; a pending partition with zero violations would keep stale
+        # files from a crashed earlier attempt — clear every pending
+        # partition's directory explicitly first (Iceberg mapping: the
+        # snapshot's overwrite of the pending partition set is atomic)
+        for p in pending:
+            _delete_dir(
+                spark, f"{output_dir}/violations/{partition_col}={p}"
+            )
         (
             viols.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -160,13 +181,13 @@ def run_partitioned_validation(
                 int(by_part[p].n_violations or 0) if p in by_part else 0,
                 int(by_part[p].n_invalid_rows or 0) if p in by_part else 0,
                 wall,
+                "batch",
             )
             for p in pending
         ]
         spark.createDataFrame(
             metrics,
-            "run_id string, part_key string, n_rows bigint, n_violations bigint, "
-            "n_invalid_rows bigint, wall_sec double",
+            _METRICS_DDL,
         ).withColumn("completed_at", F.current_timestamp()).write.mode(
             "append"
         ).parquet(f"{output_dir}/metrics")
@@ -217,10 +238,10 @@ def run_partitioned_validation(
                     int(stats.n_violations or 0),
                     int(stats.n_invalid_rows or 0),
                     round(wall, 3),
+                    "partition",
                 )
             ],
-            "run_id string, part_key string, n_rows bigint, n_violations bigint, "
-            "n_invalid_rows bigint, wall_sec double",
+            _METRICS_DDL,
         ).withColumn("completed_at", F.current_timestamp())
         metrics_row.write.mode("append").parquet(f"{output_dir}/metrics")
 

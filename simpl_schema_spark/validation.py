@@ -113,17 +113,31 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
             cur = cur.get(seg) if isinstance(cur, dict) else getattr(cur, seg, None)
         return cur
 
-    def make_item_udf(fn, key, subpath, wants_ctx):
-        """Whole-array UDF: error type per element (see _PandasRule.elementwise)."""
+    def make_item_udf(fn, key, subpath, wants_ctx, nested_subpath=None):
+        """Whole-array UDF: error type per element (see _PandasRule.elementwise).
+
+        ``nested_subpath`` (doubly-nested keys, a.$.b.$.c): path from each
+        outer element to the inner array; the UDF then returns
+        ``array<array<string>>`` — one error type per (outer, inner) index.
+        """
+        def run_leaf(el, row):
+            v = _extract(el, subpath)
+            return fn(v, FieldContext(key, v, row)) if wants_ctx else fn(v)
+
         def run_row(arr, row):
             if arr is None:
                 return None
             out = []
             for el in arr:
-                v = _extract(el, subpath)
-                out.append(
-                    fn(v, FieldContext(key, v, row)) if wants_ctx else fn(v)
-                )
+                if nested_subpath is None:
+                    out.append(run_leaf(el, row))
+                else:
+                    inner = _extract(el, nested_subpath) if nested_subpath else el
+                    out.append(
+                        None
+                        if inner is None
+                        else [run_leaf(e2, row) for e2 in inner]
+                    )
             return out
 
         def _apply_plain(arrays: pd.Series) -> pd.Series:
@@ -136,6 +150,8 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
             )
 
         out_t = T.ArrayType(T.StringType())
+        if nested_subpath is not None:
+            out_t = T.ArrayType(out_t)
         if wants_ctx:
             return F.pandas_udf(_apply_ctx, out_t)
         return F.pandas_udf(_apply_plain, out_t)
@@ -144,7 +160,10 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
         if rule.elementwise:
             arr_col = F.col(rule.input_cols[0])
             wants_ctx = bool(rule.context_cols)
-            udf = make_item_udf(rule.fn, rule.key, rule.item_subpath, wants_ctx)
+            udf = make_item_udf(
+                rule.fn, rule.key, rule.item_subpath, wants_ctx,
+                nested_subpath=rule.nested_subpath,
+            )
             if wants_ctx:
                 ctx_struct = F.struct(
                     *[F.col(c).alias(c) for c in rule.context_cols]

@@ -200,19 +200,20 @@ class TestArrayPositionAutoValue:
         df = spark.createDataFrame([(None,)], "tags array<string>")
         assert _one(clean(df, ss))["tags"] is None
 
-    def test_python_fn_on_array_item_raises(self, spark):
-        def nope(ctx):
-            return 1
+    def test_python_fn_on_array_item_now_supported(self, spark):
+        # was NotImplementedError through round 2; now the whole-array
+        # Arrow rebuild path (see TestNestedArrayAutoValues) handles it
+        def bang(ctx):
+            return (ctx.value or "") + "!"
 
         ss = SimpleSchema(
             {
                 "tags": {"type": SimpleSchema.Array, "optional": True},
-                "tags.$": {"type": str, "autoValue": nope},
+                "tags.$": {"type": str, "autoValue": bang},
             }
         )
         df = spark.createDataFrame([(["a"],)], "tags array<string>")
-        with pytest.raises(NotImplementedError):
-            clean(df, ss)
+        assert list(clean(df, ss).collect()[0].tags) == ["a!"]
 
 
 class TestDefaultValueDocMode:
@@ -408,3 +409,97 @@ class TestAutoValueNullContract:
             (r.s is None, r.s) for r in clean(df, ss).collect()
         )
         assert vals == [(False, "ok"), (True, None)]
+
+
+class TestNestedArrayAutoValues:
+    """autoValue under one and two nested array levels — Python fns rebuild
+    the whole outer array in one Arrow UDF; @spark_auto_value fns compile to
+    nested F.transform (getPositionsForAutoValue.ts:43-148 parity)."""
+
+    def test_python_fn_on_item_key(self, spark):
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def upper(ctx):
+            if ctx.value is None:
+                return ctx.UNCHANGED
+            return ctx.value.upper()
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "autoValue": upper},
+            }
+        )
+        df = spark.createDataFrame([(["a", "b"],), (None,)], "tags array<string>")
+        rows = sorted(str(r.tags) for r in clean(df, ss).collect())
+        assert rows == ["None", "['A', 'B']"]
+
+    def test_python_fn_on_struct_item_field(self, spark):
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def title(ctx):
+            if ctx.value is None:
+                return ctx.UNCHANGED
+            return ctx.value.title()
+
+        ss = SimpleSchema(
+            {
+                "friends": {"type": SimpleSchema.Array, "optional": True},
+                "friends.$": {"type": dict},
+                "friends.$.name": {"type": str, "autoValue": title},
+            }
+        )
+        df = spark.createDataFrame(
+            [([{"name": "ada lovelace"}, {"name": "bob"}],)],
+            "friends array<struct<name string>>",
+        )
+        out = clean(df, ss).collect()[0].friends
+        assert [f.name for f in out] == ["Ada Lovelace", "Bob"]
+
+    def test_python_fn_doubly_nested(self, spark):
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def clamp(ctx):
+            if ctx.value is not None and ctx.value > 10:
+                return 10
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "teams": {"type": SimpleSchema.Array, "optional": True},
+                "teams.$": {"type": dict},
+                "teams.$.scores": {"type": SimpleSchema.Array},
+                "teams.$.scores.$": {"type": int, "autoValue": clamp},
+            }
+        )
+        df = spark.createDataFrame(
+            [([{"scores": [5, 99]}, {"scores": [12]}],)],
+            "teams array<struct<scores array<bigint>>>",
+        )
+        out = clean(df, ss).collect()[0].teams
+        assert [list(t.scores) for t in out] == [[5, 10], [10]]
+
+    def test_spark_auto_value_doubly_nested(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.cleaning import clean, spark_auto_value
+        from simpl_schema_spark.schema import SimpleSchema
+
+        @spark_auto_value
+        def double_it(ctx):
+            return ctx.value * 2
+
+        ss = SimpleSchema(
+            {
+                "grid": {"type": SimpleSchema.Array, "optional": True},
+                "grid.$": {"type": SimpleSchema.Array},
+                "grid.$.$": {"type": int, "autoValue": double_it},
+            }
+        )
+        df = spark.createDataFrame(
+            [([[1, 2], [3]],)], "grid array<array<bigint>>"
+        )
+        out = clean(df, ss).collect()[0].grid
+        assert [list(g) for g in out] == [[2, 4], [6]]

@@ -191,3 +191,35 @@ class TestSinglePassRuns:
         assert set(r2.completed).isdisjoint(r1.completed)
         v = spark.read.parquet(f"{out}/violations")
         assert v.select("part_key").distinct().count() == 3
+
+    def test_single_pass_clears_stale_partition_dirs(self, spark, tmp_path):
+        # a crashed earlier attempt left files in a pending partition that
+        # produces ZERO violation rows this run: the dir must be cleared,
+        # not kept (dynamic overwrite alone only rewrites producing parts)
+        import os
+
+        out = str(tmp_path / "stale")
+        docs = generate_documents(spark, 2000).where(
+            F.to_date("warc_ts") == "2024-01-01"
+        )
+        # all-valid slice → zero violations for the partition
+        clean_docs = docs.withColumn(
+            "url", F.concat(F.lit("https://ok.example/"), F.col("url"))
+        )
+        # run once to learn the real layout, then plant a stale file
+        part_dir = f"{out}/violations/part_key=2024-01-01"
+        os.makedirs(part_dir, exist_ok=True)
+        stale = f"{part_dir}/stale.parquet"
+        spark.range(5).toDF("junk").coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/_tmp_stale"
+        )
+        import glob, shutil as sh
+
+        src = glob.glob(f"{out}/_tmp_stale/*.parquet")[0]
+        sh.copy(src, stale)
+        assert os.path.exists(stale)
+
+        run_partitioned_validation(
+            docs, documents_schema(), out, single_pass=True
+        )
+        assert not os.path.exists(stale)

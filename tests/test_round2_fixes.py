@@ -380,3 +380,73 @@ class TestNamedContexts:
         ctx.reset()
         r = ctx.validate(df, keys=["b"])
         assert r.validation_errors() == []  # 'a' error NOT retained after reset
+
+
+class TestDoublyNestedPythonValidators:
+    """Python custom validators under two nested arrays (a.$.b.$.c) — the
+    reference recurses arbitrarily (getPositionsForAutoValue.ts:43-148);
+    here one Arrow UDF over the OUTER array returns array<array<string>>
+    and the nested lambdas index into it."""
+
+    def test_leaf_field_two_levels(self, spark):
+        def no_zz(v):
+            return "noZZ" if v == "zz" else None
+
+        ss = SimpleSchema(
+            {
+                "teams": {"type": SimpleSchema.Array, "optional": True},
+                "teams.$": {"type": dict},
+                "teams.$.members": {"type": SimpleSchema.Array},
+                "teams.$.members.$": {"type": str, "custom": no_zz},
+            }
+        )
+        ddl = "teams array<struct<members array<string>>>"
+        expect_errors(
+            spark, ss, ddl,
+            {"teams": [{"members": ["ok", "zz"]}, {"members": ["zz"]}]},
+            [("teams.0.members.1", "noZZ"), ("teams.1.members.0", "noZZ")],
+        )
+        expect_valid(spark, ss, ddl, {"teams": [{"members": ["a", "b"]}]})
+        expect_valid(spark, ss, ddl, {"teams": None})
+
+    def test_array_of_arrays(self, spark):
+        def positive(v):
+            return "notPositive" if v is not None and v <= 0 else None
+
+        ss = SimpleSchema(
+            {
+                "grid": {"type": SimpleSchema.Array, "optional": True},
+                "grid.$": {"type": SimpleSchema.Array},
+                "grid.$.$": {"type": int, "custom": positive},
+            }
+        )
+        ddl = "grid array<array<bigint>>"
+        expect_errors(
+            spark, ss, ddl,
+            {"grid": [[1, -2], [3]]},
+            [("grid.0.1", "notPositive")],
+        )
+        expect_valid(spark, ss, ddl, {"grid": [[1], [2, 3]]})
+
+    def test_two_level_with_context(self, spark):
+        def below_cap(v, ctx):
+            cap = ctx.field("cap")
+            if v is not None and cap is not None and v > cap:
+                return "overCap"
+            return None
+
+        ss = SimpleSchema(
+            {
+                "cap": int,
+                "rows": {"type": SimpleSchema.Array, "optional": True},
+                "rows.$": {"type": dict},
+                "rows.$.vals": {"type": SimpleSchema.Array},
+                "rows.$.vals.$": {"type": int, "custom": below_cap},
+            }
+        )
+        ddl = "cap bigint, rows array<struct<vals array<bigint>>>"
+        expect_errors(
+            spark, ss, ddl,
+            {"cap": 5, "rows": [{"vals": [3, 9]}]},
+            [("rows.0.vals.1", "overCap")],
+        )
