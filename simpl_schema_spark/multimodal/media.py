@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media payloads are opaque ``binary`` columns + a typed metadata struct;
-decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.  The
-image/audio codec libraries are NOT available in this container, so the
-decode kernels are STUBBED (deterministic fake features, clearly marked) —
-the Spark-side plumbing (schemas, batch iteration, partition sizing, UDF
-signatures) is real and tested.
+decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
+Image decode has a REAL path (pillow when importable, else the vendored
+pure-Python PNG decoder in :mod:`.minipng` — exercised in CI); audio/video
+kernels remain STUBBED (deterministic fake features, clearly marked) since
+their codec libraries are absent here.  The Spark-side plumbing (schemas,
+batch iteration, partition sizing, UDF signatures) is real and tested in
+all modes.
 
 At 100 TB: media rows are far wider than text rows — repartition by size
 before a decode stage (``target_rows_per_batch``) so one Arrow batch stays
@@ -95,14 +97,24 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode images and extract features via Arrow-batched mapInPandas.
 
-    ``use_stub=False`` uses the REAL pillow decode path when the library is
-    importable: actual width/height from the decoded image and a coarse
-    grayscale-histogram embedding (deterministic, no ML deps).  Without
-    pillow it raises NotImplementedError at the decode site, marking where a
-    production vision encoder plugs in.  ``use_stub=True`` produces
-    DETERMINISTIC FAKE features (hash-derived) with the exact same schema,
-    batch shape, and partition behavior.
+    ``use_stub=False`` uses the REAL decode path: pillow when importable
+    (any format), else the vendored pure-Python PNG decoder
+    (:mod:`.minipng`) for PNG payloads — actual width/height and a coarse
+    luminance-histogram embedding (deterministic, no ML deps).  Non-PNG
+    payloads without pillow raise NotImplementedError at the decode site,
+    marking where a production vision encoder plugs in.  ``use_stub=True``
+    produces DETERMINISTIC FAKE features (hash-derived) with the exact same
+    schema, batch shape, and partition behavior.
     """
+
+    def _bucketize(hist: list[int]) -> list[float]:
+        # coarse luminance histogram, L1-normalized to embedding_dim buckets
+        per = 256 // embedding_dim
+        buckets = [
+            float(sum(hist[j * per:(j + 1) * per])) for j in range(embedding_dim)
+        ]
+        total = sum(buckets) or 1.0
+        return [b / total for b in buckets]
 
     def _pil_features(payload: bytes) -> tuple[int, int, list[float]]:
         import io
@@ -112,22 +124,28 @@ def decode_image_features(
         img = Image.open(io.BytesIO(payload))
         img.load()
         gray = img.convert("L")
-        # coarse luminance histogram, L1-normalized to embedding_dim buckets
-        hist = gray.histogram()  # 256 buckets
-        per = 256 // embedding_dim
-        buckets = [
-            float(sum(hist[j * per:(j + 1) * per])) for j in range(embedding_dim)
-        ]
-        total = sum(buckets) or 1.0
-        return img.width, img.height, [b / total for b in buckets]
+        return img.width, img.height, _bucketize(gray.histogram())
+
+    def _minipng_features(payload: bytes) -> tuple[int, int, list[float]]:
+        from .minipng import PngError, luminance_histogram
+
+        if not payload.startswith(b"\x89PNG"):
+            raise NotImplementedError(
+                "real decode of non-PNG payloads requires pillow; not "
+                "installed — use use_stub=True or ship PIL to the executors"
+            )
+        try:
+            w, h, hist = luminance_histogram(payload)
+        except PngError as e:
+            raise NotImplementedError(
+                f"vendored PNG decoder cannot handle this payload ({e}); "
+                "ship pillow to the executors"
+            ) from e
+        return w, h, _bucketize(hist)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         real = not use_stub
-        if real and not pil_available():
-            raise NotImplementedError(
-                "real image decode requires pillow; not installed — "
-                "use use_stub=True or ship PIL to the executors"
-            )
+        decode = _pil_features if pil_available() else _minipng_features
         for pdf in it:
             ids = pdf[id_col]
             if real:
@@ -137,7 +155,7 @@ def decode_image_features(
                         widths.append(0); heights.append(0)
                         embs.append([0.0] * embedding_dim)
                     else:
-                        w, h, e = _pil_features(bytes(b))
+                        w, h, e = decode(bytes(b))
                         widths.append(w); heights.append(h); embs.append(e)
                 out = pd.DataFrame(
                     {"id": ids, "width": pd.Series(widths, dtype="int32"),

@@ -318,28 +318,42 @@ class TestBoundedBuckets:
 
 
 class TestRealImageDecode:
-    """Non-stub decode path, gated on pillow's presence (graceful fallback)."""
+    """Non-stub decode path: pillow when importable, else the vendored
+    pure-Python PNG decoder (multimodal/minipng.py) — runs in CI either way."""
 
-    def test_real_decode_when_pil_present(self, spark):
-        from simpl_schema_spark.multimodal.media import (
-            decode_image_features,
-            pil_available,
-        )
+    @staticmethod
+    def _png(width, height, rgb):
+        from simpl_schema_spark.multimodal.minipng import encode_png
 
-        if not pil_available():
-            pytest.skip("pillow not installed in this environment")
-        import io
-        from PIL import Image
+        row = bytes(rgb) * width
+        return encode_png(width, height, [row] * height)
 
-        buf = io.BytesIO()
-        Image.new("RGB", (13, 7), (200, 10, 10)).save(buf, format="PNG")
-        df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+    def test_real_decode_png_vendored_or_pil(self, spark):
+        from simpl_schema_spark.multimodal.media import decode_image_features
+
+        png = self._png(13, 7, (200, 10, 10))
+        df = spark.createDataFrame([(1, bytearray(png))],
                                    "id bigint, payload binary")
         row = decode_image_features(df, use_stub=False).collect()[0]
         assert (row.width, row.height) == (13, 7)
         assert len(row.embedding) == 8 and abs(sum(row.embedding) - 1.0) < 1e-6
 
-    def test_real_decode_raises_cleanly_without_pil(self, spark):
+    def test_real_decode_matches_pil_when_present(self, spark):
+        from simpl_schema_spark.multimodal.media import pil_available
+
+        if not pil_available():
+            pytest.skip("pillow not installed in this environment")
+        import io
+        from PIL import Image
+        from simpl_schema_spark.multimodal.minipng import luminance_histogram
+
+        buf = io.BytesIO()
+        Image.new("RGB", (5, 4), (10, 20, 30)).save(buf, format="PNG")
+        w, h, hist = luminance_histogram(buf.getvalue())
+        assert (w, h) == (5, 4)
+        assert hist == Image.open(io.BytesIO(buf.getvalue())).convert("L").histogram()
+
+    def test_real_decode_raises_cleanly_for_non_png_without_pil(self, spark):
         from simpl_schema_spark.multimodal.media import (
             decode_image_features,
             pil_available,
@@ -347,12 +361,53 @@ class TestRealImageDecode:
 
         if pil_available():
             pytest.skip("pillow IS installed; fallback path not reachable")
-        df = spark.createDataFrame([(1, bytearray(b"xx"))], "id bigint, payload binary")
-        from py4j.protocol import Py4JJavaError
-
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xe0fakejpeg"))],
+            "id bigint, payload binary",
+        )
         with pytest.raises(Exception) as exc:
             decode_image_features(df, use_stub=False).collect()
         assert "pillow" in str(exc.value) or "NotImplementedError" in str(exc.value)
+
+    def test_minipng_roundtrip_and_filters(self, spark):
+        import struct, zlib
+        from simpl_schema_spark.multimodal.minipng import (
+            decode_png,
+            encode_png,
+        )
+
+        rows = [bytes((x % 256, (x * 2) % 256, (x * 3) % 256) [i % 3]
+                      for i, x in enumerate(range(9)))
+                for _ in range(2)]
+        rows = [bytes(range(0, 12)), bytes(range(100, 112))]  # 4px RGB rows
+        data = encode_png(4, 2, rows)
+        w, h, out, nch = decode_png(data)
+        assert (w, h, nch) == (4, 2, 3)
+        assert out == rows
+
+        # hand-craft Sub(1) + Up(2) filtered scanlines and verify unfiltering
+        width, nchan = 3, 3
+        row0 = bytes([10, 20, 30, 11, 21, 31, 12, 22, 32])
+        row1 = bytes([13, 23, 33, 14, 24, 34, 15, 25, 35])
+        sub = bytearray([1]) + bytearray(
+            [row0[i] if i < nchan else (row0[i] - row0[i - nchan]) & 0xFF
+             for i in range(len(row0))]
+        )
+        up = bytearray([2]) + bytearray(
+            [(row1[i] - row0[i]) & 0xFF for i in range(len(row1))]
+        )
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr_body = struct.pack(">IIBBBBB", width, 2, 8, 2, 0, 0, 0)
+
+        def chunk(t, b):
+            return (struct.pack(">I", len(b)) + t + b
+                    + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+        data = (sig + chunk(b"IHDR", ihdr_body)
+                + chunk(b"IDAT", zlib.compress(bytes(sub) + bytes(up)))
+                + chunk(b"IEND", b""))
+        w, h, out, nch = decode_png(data)
+        assert out == [row0, row1]
 
 
 class TestIVF:
