@@ -559,10 +559,14 @@ def validate_modifier_table(
 
     # ---- required: explicit null / $unset / $rename -------------------------
     required_rows = []
-    optional_map = {
-        k: bool(d.get("optional", False)) if not callable(d.get("optional")) else False
-        for k, d in comp.merged.items()
-    }
+
+    def _optional(d: dict) -> bool:
+        # callable optional evaluated like the fixed-column compiler
+        # (compiler/compile.py:401-403): bool(optional())
+        opt = d.get("optional", False)
+        return bool(opt()) if callable(opt) else bool(opt)
+
+    optional_map = {k: _optional(d) for k, d in comp.merged.items()}
     non_optional = [k for k, opt in optional_map.items() if not opt]
     req_cond = None
     if non_optional:
@@ -576,6 +580,115 @@ def validate_modifier_table(
             violation(key_path, ErrorTypes.REQUIRED),
         ).otherwise(_null_violation())
 
+    # ---- custom validators (validateField.ts:192-226 runs the full chain
+    # in modifier mode too): Python fns ride Arrow UDFs over the JSON value
+    # token; @spark_rule fns get a typed token extraction; two-argument fns
+    # resolve field()/sibling_field() against the document's other operator
+    # entries (reference getFieldInfo over the mongoObject)
+    def _customs_for(key: str) -> list:
+        if key not in comp.merged:
+            return []
+        fns: list = []
+        for a in comp._alternatives(key):
+            fn_a = a.get("custom")
+            if fn_a is not None and all(fn_a is not c for c in fns):
+                fns.append(fn_a)
+        return fns + schema.all_validators()
+
+    from .compiler.compile import RuleContext, _wants_context
+
+    any_ctx = any(
+        _wants_context(fn)
+        for key in comp.merged
+        for fn in _customs_for(key)
+        if not getattr(fn, "_is_spark_rule", False)
+    )
+    has_any_custom = any(_customs_for(key) for key in comp.merged)
+    if any_ctx:
+        # one co-partitioned shuffle attaching the (schema-bounded) entry
+        # list per document; only paid when a cross-field validator exists
+        ents_df = mods.groupBy(id_col).agg(
+            F.collect_list(
+                F.struct(F.col("op"), F.col("key_path").alias("key"), F.col("value"))
+            ).alias("__entries")
+        )
+        mods = mods.join(ents_df, id_col)
+    entries_col = F.col("__entries") if any_ctx else None
+
+    def _typed_token(key: str, token: Column) -> Column:
+        kinds = set()
+        for a in comp._alternatives(key):
+            t = a.get("type")
+            if isinstance(t, SimpleSchema):
+                t = ObjectType
+            kinds.add(t)
+        if kinds == {String}:
+            return _json_str(token)
+        if kinds <= {Number, Integer} and kinds:
+            return _json_num(token)
+        if kinds == {Boolean}:
+            return F.from_json(
+                F.concat(F.lit('{"v":'), token, F.lit("}")), "v boolean"
+            ).getField("v")
+        raise NotImplementedError(
+            f"@spark_rule validator on modifier key {key!r} requires a "
+            f"single scalar declared type; use a Python validator"
+        )
+
+    def _token_udf(fn, key: str, wants_ctx: bool):
+        from .validation import FieldContext
+
+        def decode_row(entries):
+            row = {}
+            if entries is None:
+                return row
+            for e in entries:
+                if e["op"] in _VALUE_OPS and e["key"] not in row:
+                    row[e["key"]] = _decode_token(e["value"])
+            return row
+
+        if wants_ctx:
+
+            def _apply(tokens: pd.Series, ents: pd.Series) -> pd.Series:
+                out = []
+                for tok, en in zip(tokens, ents):
+                    val = _decode_token(tok)
+                    out.append(fn(val, FieldContext(key, val, decode_row(en))))
+                return pd.Series(out, dtype=object)
+
+            return F.pandas_udf(_apply, T.StringType())
+
+        def _apply(tokens: pd.Series) -> pd.Series:
+            return pd.Series(
+                [fn(_decode_token(t)) for t in tokens], dtype=object
+            )
+
+        return F.pandas_udf(_apply, T.StringType())
+
+    def _custom_chain(key: str, name: Column) -> list[Column]:
+        """Ordered custom-violation columns for one key's value token."""
+        chain: list[Column] = []
+        for fn in _customs_for(key):
+            if getattr(fn, "_is_spark_rule", False):
+                typed = _typed_token(key, v)
+                err_type = fn(
+                    typed,
+                    RuleContext(
+                        key=key, name=name, definition=comp._alternatives(key)[0]
+                    ),
+                )
+            else:
+                wants = _wants_context(fn)
+                udf = _token_udf(fn, key, wants)
+                err_type = udf(v, entries_col) if wants else udf(v)
+            chain.append(
+                F.when(
+                    err_type.isNotNull(),
+                    violation(name, err_type, value=_display(v)),
+                ).otherwise(_null_violation())
+            )
+        return chain
+
     # ---- per-key value rules -------------------------------------------------
     # value checked for $set/$setOnInsert/$inc/$min/$max/$mul/$currentDate
     # (non-null values); for $push/$addToSet against the ITEM definition
@@ -588,29 +701,98 @@ def validate_modifier_table(
         if k.endswith(".$"):
             continue
         err = comp.value_error(k, v, key_path, op)
-        if err is not None:
-            value_rule = F.when(generic == k, err).otherwise(value_rule)
+        customs = _custom_chain(k, key_path) if has_any_custom else []
+        if err is not None or customs:
+            parts = ([err] if err is not None else []) + customs
+            full = parts[0] if len(parts) == 1 else F.coalesce(*parts)
+            value_rule = F.when(generic == k, full).otherwise(value_rule)
         # concrete array index paths (tags.0) validate against the item def
         item_key = f"{k}.$"
         if item_key in comp.merged:
+            item_customs = (
+                _custom_chain(item_key, key_path) if has_any_custom else []
+            )
             ierr_idx = comp.value_error(k, v, key_path, op, as_item=True)
-            if ierr_idx is not None:
-                value_rule = F.when(generic == item_key, ierr_idx).otherwise(
+            idx_parts = (
+                [ierr_idx] if ierr_idx is not None else []
+            ) + item_customs
+            if idx_parts:
+                full_idx = (
+                    idx_parts[0]
+                    if len(idx_parts) == 1
+                    else F.coalesce(*idx_parts)
+                )
+                value_rule = F.when(generic == item_key, full_idx).otherwise(
                     value_rule
                 )
+                # single-value $push/$addToSet validates the pushed value
+                # against the same item chain
+                item_rule = F.when(generic == k, full_idx).otherwise(item_rule)
             ierr = comp.value_error(k, v, key_path, op, as_item=True)
-            if ierr is not None:
-                item_rule = F.when(generic == k, ierr).otherwise(item_rule)
+            item_rule_fns = [
+                fn
+                for fn in (_customs_for(item_key) if has_any_custom else [])
+            ]
+            if ierr is not None or item_rule_fns:
                 # $each: every element validated (doValidation.ts:52-58);
-                # elements re-encoded to JSON per the item's expected type
+                # elements re-encoded to JSON per the item's expected type.
+                # @spark_rule item customs run inside the transform; Python
+                # item customs merge via one Arrow UDF over the token array
+                # (UDF results can't be referenced inside HOF lambdas)
                 elems = _each_elements_as_json(v, comp, item_key)
-                per_elem = F.filter(
-                    F.transform(
-                        F.coalesce(elems, F.array().cast("array<string>")),
-                        lambda e: comp.value_error(k, e, key_path, op, as_item=True),
-                    ),
-                    lambda x: x.isNotNull(),
+
+                def elem_expr_err(e):
+                    parts = []
+                    base_err = comp.value_error(
+                        k, e, key_path, op, as_item=True
+                    )
+                    if base_err is not None:
+                        parts.append(base_err)
+                    for fn in item_rule_fns:
+                        if not getattr(fn, "_is_spark_rule", False):
+                            continue
+                        typed = _typed_token(item_key, e)
+                        et = fn(
+                            typed,
+                            RuleContext(
+                                key=item_key,
+                                name=key_path,
+                                definition=comp._alternatives(item_key)[0],
+                            ),
+                        )
+                        parts.append(
+                            F.when(
+                                et.isNotNull(),
+                                violation(key_path, et, value=_display(e)),
+                            ).otherwise(_null_violation())
+                        )
+                    if not parts:
+                        return _null_violation()
+                    return parts[0] if len(parts) == 1 else F.coalesce(*parts)
+
+                expr_arr = F.transform(
+                    F.coalesce(elems, F.array().cast("array<string>")),
+                    elem_expr_err,
                 )
+                py_item_fns = [
+                    fn
+                    for fn in item_rule_fns
+                    if not getattr(fn, "_is_spark_rule", False)
+                ]
+                if py_item_fns:
+                    merge = _each_merge_udf(py_item_fns, item_key)
+                    per_elem = merge(
+                        expr_arr,
+                        F.coalesce(elems, F.array().cast("array<string>")),
+                        key_path,
+                        entries_col
+                        if any_ctx
+                        else F.lit(None).cast(
+                            "array<struct<op:string,key:string,value:string>>"
+                        ),
+                    )
+                else:
+                    per_elem = F.filter(expr_arr, lambda x: x.isNotNull())
                 each_err = F.when(
                     (generic == k) & v.rlike(r'^\s*\{\s*"\$each"'), per_elem
                 ).otherwise(each_err)
@@ -977,6 +1159,63 @@ def _decode_token(tok):
         return json.loads(tok)
     except ValueError:
         return None
+
+
+def _each_merge_udf(fns, item_key: str):
+    """$each + Python item validators: per-element merge of the expression
+    violations (built-in + @spark_rule, already computed JVM-side) with the
+    Python validators' verdicts — one Arrow UDF per array key, because UDF
+    results cannot be referenced inside higher-order-function lambdas."""
+    from .compiler.compile import _wants_context
+    from .errors import VIOLATION_FIELDS
+    from .validation import FieldContext
+
+    wants = [_wants_context(fn) for fn in fns]
+    field_names = [nm for nm, _ in VIOLATION_FIELDS]
+
+    def decode_row(entries):
+        row = {}
+        if entries is None:
+            return row
+        for e in entries:
+            if e["op"] in _VALUE_OPS and e["key"] not in row:
+                row[e["key"]] = _decode_token(e["value"])
+        return row
+
+    def run(expr_viols, tokens, name, entries):
+        if tokens is None:
+            return []
+        row = decode_row(entries)
+        out = []
+        for i, tok in enumerate(tokens):
+            ev = None
+            if expr_viols is not None and i < len(expr_viols):
+                ev = expr_viols[i]
+                if ev is not None and ev.get("type") is None:
+                    ev = None
+            if ev is not None:
+                out.append(ev)
+                continue
+            val = _decode_token(tok)
+            for fn, w in zip(fns, wants):
+                et = fn(val, FieldContext(item_key, val, row)) if w else fn(val)
+                if et is not None:
+                    viol = dict.fromkeys(field_names)
+                    viol["name"] = name
+                    viol["type"] = et
+                    viol["value"] = tok if not (tok or "").lstrip().startswith('"') else str(val)
+                    out.append(viol)
+                    break
+        return out
+
+    def _apply(expr: pd.Series, arrs: pd.Series, names: pd.Series,
+               ents: pd.Series) -> pd.Series:
+        return pd.Series(
+            [run(e, a, n, en) for e, a, n, en in zip(expr, arrs, names, ents)],
+            dtype=object,
+        )
+
+    return F.pandas_udf(_apply, T.ArrayType(VIOLATION_SCHEMA))
 
 
 def _apply_modifier_auto_values(

@@ -479,3 +479,98 @@ class TestMalformedObjectTokens:
         )
         out = clean_modifier_table(df, self._schema()).collect()
         assert out[0].value == '{"b": '
+
+
+class TestModifierCustomValidators:
+    """Custom validators run in modifier mode too (validateField.ts:192-226
+    applies the full chain to affected keys)."""
+
+    def test_python_field_validator(self, spark):
+        def no_admin(v):
+            return "notAllowed" if v == "admin" else None
+
+        ss = SimpleSchema({"user": {"type": str, "custom": no_admin}})
+        got = run(spark, [(1, "$set", "user", '"admin"', False),
+                          (2, "$set", "user", '"bob"', False)], ss)
+        assert got == [(1, "user", "notAllowed")]
+
+    def test_spark_rule_validator(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.compiler.compile import spark_rule
+
+        @spark_rule
+        def even_only(value, ctx):
+            return F.when(value % 2 != 0, F.lit("notAllowed"))
+
+        ss = SimpleSchema({"n": {"type": int, "custom": even_only}})
+        got = run(spark, [(1, "$set", "n", "3", False),
+                          (2, "$inc", "n", "4", False)], ss)
+        assert got == [(1, "n", "notAllowed")]
+
+    def test_cross_field_context(self, spark):
+        def end_after_start(v, ctx):
+            start = ctx.field("start")
+            if v is not None and start is not None and v < start:
+                return "minNumber"
+            return None
+
+        ss = SimpleSchema(
+            {
+                "start": {"type": int},
+                "end": {"type": int, "custom": end_after_start},
+            }
+        )
+        got = run(
+            spark,
+            [(1, "$set", "start", "5", False), (1, "$set", "end", "3", False),
+             (2, "$set", "start", "1", False), (2, "$set", "end", "3", False)],
+            ss,
+        )
+        assert got == [(1, "end", "minNumber")]
+
+    def test_item_validator_on_push_and_index(self, spark):
+        def no_empty(v):
+            return "minString" if v == "" else None
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "custom": no_empty},
+            }
+        )
+        got = run(
+            spark,
+            [(1, "$push", "tags", '""', False),
+             (2, "$set", "tags.0", '""', False),
+             (3, "$push", "tags", '"ok"', False)],
+            ss,
+        )
+        assert got == [(1, "tags", "minString"), (2, "tags.0", "minString")]
+
+    def test_item_validator_each(self, spark):
+        def no_empty(v):
+            return "minString" if v == "" else None
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "custom": no_empty},
+            }
+        )
+        got = run(
+            spark,
+            [(1, "$push", "tags", '{"$each": ["ok", "", "x", ""]}', False)],
+            ss,
+        )
+        assert got == [(1, "tags", "minString"), (1, "tags", "minString")]
+
+    def test_builtin_wins_then_custom(self, spark):
+        def custom(v):
+            return "custom" if v == "zz" else None
+
+        ss = SimpleSchema(
+            {"s": {"type": str, "max": 4, "custom": custom}}
+        )
+        got = run(spark, [(1, "$set", "s", '"toolong"', False),
+                          (2, "$set", "s", '"zz"', False)], ss)
+        assert got == [(1, "s", "maxString"), (2, "s", "custom")]
