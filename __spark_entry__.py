@@ -413,6 +413,70 @@ def q_validate_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_json_column(docs, ss).select("doc_id", "name", "type")
 
 
+def _messy_url() -> F.Column:
+    """Deterministic messy URL per document: mixed-case scheme/host, a
+    default :443 port (%3), tracking params utm_source (%2) and gclid (%5),
+    and a fragment (%4) — every normalization rule is exercised."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")), F.lit(".Example.COM"),
+        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"), did.cast("string"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), did.cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), did.cast("string"))),
+        F.when(did % 5 == 0, F.lit("&gclid=Abc123")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+
+
+def q_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (text/urls.py): lowercase scheme+authority,
+    default-port strip, fragment drop, tracking-param removal, plus host
+    and registered-domain extraction.  The oracle derives the EXPECTED
+    canonical form independently from the underlying columns."""
+    from simpl_schema_spark.text import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    messy = d.select("doc_id", _messy_url().alias("url"))
+    return messy.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("url_norm"),
+        url_host(F.col("url")).alias("host"),
+        url_registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (sampling.py): md5-keyed so the
+    DuckDB oracle reproduces the selection bit-for-bit."""
+    from simpl_schema_spark.sampling import hash_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return hash_sample(d, "doc_id", 0.25)
+
+
+def q_lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, chosen by hash order (sampling.py)."""
+    from simpl_schema_spark.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, "lang", "doc_id", 5)
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (text/vocab.py): global token counts with a
+    bounded TakeOrderedAndProject top-k, deterministic tie-break."""
+    from simpl_schema_spark.text import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), "text", k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -440,6 +504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_modifiers": q_validate_modifiers,
         "validate_object_set": q_validate_object_set,
         "validate_json_docs": q_validate_json_docs,
+        "url_normalized": q_url_normalized,
+        "hash_sample_docs": q_hash_sample_docs,
+        "lang_stratified_sample": q_lang_stratified_sample,
+        "top_tokens": q_top_tokens,
     }
 
 
@@ -701,5 +769,45 @@ def oracle_sql() -> dict[str, str]:
                    {_NORM_SQL.replace('text', 'b.text')}
                and a.doc_id < b.doc_id
              where a.text is not null and b.text is not null
+        """,
+        # independent EXPECTED derivation (not a re-run of the normalizer):
+        # the synthesized messy URL canonicalizes to exactly this form
+        "url_normalized": """
+            select doc_id,
+                   'https://www.' || lower(source) || '.example.com/Page/'
+                       || cast(doc_id as varchar) || '?id='
+                       || cast(doc_id as varchar) as url_norm,
+                   'www.' || lower(source) || '.example.com' as host,
+                   'example.com' as domain
+              from documents
+        """,
+        "hash_sample_docs": """
+            select doc_id, lang from documents
+             where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))::uint64
+                   < 1073741824
+        """,
+        "lang_stratified_sample": """
+            select doc_id, lang from (
+                select doc_id, lang,
+                       row_number() over (
+                           partition by lang
+                           order by ('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))::uint64,
+                                    doc_id
+                       ) as rn
+                  from documents
+            ) where rn <= 5
+        """,
+        "top_tokens": r"""
+            select token, n from (
+                select token, count(*) as n
+                  from (
+                    select unnest(string_split_regex(text, '\s+')) as token
+                      from documents where text is not null
+                  )
+                 where token <> ''
+                 group by token
+            )
+            order by n desc, token
+            limit 20
         """,
     }

@@ -54,6 +54,10 @@ HEADLINE_EXTRA = [
     "validate_object_set",
     "validate_json_docs",
     "embedding_near_dups",
+    "url_normalized",
+    "hash_sample_docs",
+    "lang_stratified_sample",
+    "top_tokens",
 ]
 
 

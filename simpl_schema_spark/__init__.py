@@ -29,6 +29,8 @@ def __getattr__(name):
         "validate_modifier_table": ("simpl_schema_spark.modifiers", "validate_modifier_table"),
         "clean_modifier_table": ("simpl_schema_spark.modifiers", "clean_modifier_table"),
         "spark_rule": ("simpl_schema_spark.compiler", "spark_rule"),
+        "hash_sample": ("simpl_schema_spark.sampling", "hash_sample"),
+        "stratified_sample": ("simpl_schema_spark.sampling", "stratified_sample"),
     }
     if name in lazy:
         import importlib

@@ -7,3 +7,13 @@ from .analysis import (  # noqa: F401
     token_count,
     word_tokens,
 )
+from .urls import (  # noqa: F401
+    url_host,
+    url_normalize,
+    url_registered_domain,
+)
+from .vocab import (  # noqa: F401
+    document_frequencies,
+    token_frequencies,
+    top_tokens,
+)
