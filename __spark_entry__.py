@@ -477,6 +477,28 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(_docs(spark, sf_dir), "text", k=20)
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed end-to-end training-data pipeline: exact dedup (keep lowest
+    doc_id per normalized content) → language + length filter → 50%
+    deterministic hash sample.  The shape that matters at 100 TB: dedup is
+    one hash shuffle with map-side combine, the filters are scan-level
+    predicates, the sample is a shuffle-free projection — so the whole
+    pipeline is ONE shuffle end-to-end."""
+    from simpl_schema_spark.dedup import dedup_exact
+    from simpl_schema_spark.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    deduped = dedup_exact(d, "doc_id", "text")
+    filtered = deduped.where(
+        F.col("text").isNotNull()
+        & F.col("lang").isin(*_ALLOWED_LANGS)
+        & (F.col("n_chars") <= _NCHARS_MAX)
+    )
+    return hash_sample(filtered, "doc_id", 0.5).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -508,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample_docs,
         "lang_stratified_sample": q_lang_stratified_sample,
         "top_tokens": q_top_tokens,
+        "training_pipeline": q_training_pipeline,
     }
 
 
@@ -809,5 +832,18 @@ def oracle_sql() -> dict[str, str]:
             )
             order by n desc, token
             limit 20
+        """,
+        "training_pipeline": f"""
+            with kept as (
+                select min(doc_id) as doc_id
+                  from documents
+                 where text is not null
+                 group by {_NORM_SQL}
+            )
+            select d.doc_id, d.lang, d.n_chars
+              from documents d join kept k using (doc_id)
+             where d.lang in ({langs}) and d.n_chars <= {_NCHARS_MAX}
+               and ('0x' || substring(md5(cast(d.doc_id as varchar)), 1, 8))::uint64
+                   < 2147483648
         """,
     }
