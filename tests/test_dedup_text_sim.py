@@ -447,3 +447,20 @@ class TestIVF:
         c1 = train_centroids(emb, n_centroids=4, sample_size=200)
         c2 = train_centroids(emb, n_centroids=4, sample_size=200)
         assert np.allclose(c1, c2)
+
+
+class TestHyperplaneSignatureParity:
+    def test_arrow_matches_expression(self, spark):
+        from simpl_schema_spark.sim.ann import (
+            hyperplane_signature_udf,
+            random_hyperplane_signature,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(500)
+        dim = len(emb.first().embedding)
+        udf = hyperplane_signature_udf(dim)
+        rows = emb.select(
+            random_hyperplane_signature(F.col("embedding"), dim).alias("a"),
+            udf(F.col("embedding")).alias("b"),
+        ).collect()
+        assert all(r.a == r.b for r in rows)
