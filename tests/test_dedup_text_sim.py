@@ -464,3 +464,25 @@ class TestHyperplaneSignatureParity:
             udf(F.col("embedding")).alias("b"),
         ).collect()
         assert all(r.a == r.b for r in rows)
+
+
+class TestMinhashSignatureParity:
+    def test_arrow_matches_expression(self, spark):
+        from simpl_schema_spark.dedup.minhash import (
+            minhash_signature,
+            minhash_signature_udf,
+            shingles,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+        sh = docs.select(shingles(F.col("text")).alias("sh"))
+        udf = minhash_signature_udf(64)
+        rows = sh.select(
+            minhash_signature(F.col("sh"), 64).alias("a"),
+            udf(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("b"),
+        ).collect()
+        assert len(rows) == 100
+        for r in rows:
+            assert (r.a is None) == (r.b is None)
+            if r.a is not None:
+                assert list(r.a) == list(r.b)
