@@ -178,19 +178,20 @@ def numeric_drift_ks_exact(
         F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
         F.coalesce("c_base", F.lit(0)).alias("c_base"),
     )
-    totals = merged.agg(
-        F.sum("c_cur").alias("n_cur"), F.sum("c_base").alias("n_base")
-    )
-
     spark = merged.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     ranged = merged.repartitionByRange(n_parts, "x").withColumn(
         "__pid", F.spark_partition_id()
     )
-    # consumed twice (local cumsum + partition totals): keep the range
-    # shuffle's result
+    # consumed three times (local cumsum + partition totals + grand
+    # totals): keep the range shuffle's result
     ranged = ranged.persist()
     ranged.count()
+    # derive totals from the CACHED grid — computing them from `merged`
+    # would re-run both count aggregations a second time
+    totals = ranged.agg(
+        F.sum("c_cur").alias("n_cur"), F.sum("c_base").alias("n_base")
+    )
     w_local = (
         Window.partitionBy("__pid")
         .orderBy("x")
