@@ -47,26 +47,23 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 100,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs ``(id_a, id_b, jaccard)`` ≥ threshold."""
-    # string shingles materialized FIRST (the tokenize/ngram pipeline is
-    # multi-referenced; fusing it into downstream projections re-evaluates
-    # it per reference — see minhash.py), then hashed in a second projection
-    raw = (
+    # the shingle pipeline is referenced exactly ONCE here (hash+distinct
+    # consumes `g` in a single expression), so it fuses into this one
+    # projection safely — no intermediate string-shingle cache needed.
+    # (Multi-referenced pipelines DO need staging — see minhash.py.)
+    sets = (
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            shingles(F.col(text_col), k).alias("g"),
-        )
-        .persist()
-    )
-    raw.count()
-    sets = (
-        raw.select(
-            "id",
             F.array_distinct(
-                F.transform(F.col("g"), lambda s: F.xxhash64(s))
+                F.transform(
+                    shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+                )
             ).alias("sh"),
         )
-        .where(F.size("sh") > 0)
+        # no size()>0 filter here: a filter on the projected array risks
+        # re-evaluating the fused shingle pipeline for the predicate; empty
+        # sets simply produce no inverted-index rows downstream
     )
     # multi-consumer: persist AND materialize eagerly — independent stages of
     # one action otherwise populate the cache concurrently, each recomputing
@@ -165,4 +162,4 @@ def ngram_jaccard_pairs(
     # so composed pipelines don't accumulate cached partitions
     from ..cache import materialize_and_release
 
-    return materialize_and_release(fast.unionByName(slow), raw, sets, cand)
+    return materialize_and_release(fast.unionByName(slow), sets, cand)
