@@ -127,6 +127,24 @@ def q_lang_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift (§2.6 family): src1 slice vs full
+    corpus — the production-standard drift score alongside chi²/KS."""
+    from simpl_schema_spark.checks import (
+        categorical_counts,
+        categorical_drift_psi,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = categorical_counts(d, "lang")
+    cur = d.where(F.col("source") == "src1")
+    return categorical_drift_psi(cur, base, "lang").select(
+        F.round("psi", 6).alias("psi"),
+        "n_current",
+        "n_categories",
+    )
+
+
 def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS drift (§2.6): src0 slice vs full corpus."""
     from simpl_schema_spark.checks import numeric_drift_ks_exact
@@ -511,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_orderkeys": q_duplicate_orderkeys,
         "referential_events": q_referential_events,
         "lang_chi2_drift": q_lang_chi2_drift,
+        "lang_psi_drift": q_lang_psi_drift,
         "ks_drift_nchars": q_ks_drift_nchars,
         "exact_dup_groups": q_exact_dup_groups,
         "token_counts": q_token_counts,
@@ -673,6 +692,29 @@ def oracle_sql() -> dict[str, str]:
                      as statistic,
                    count(*) - 1 as dof,
                    sum(obs)::bigint as n_current
+              from per
+        """,
+        "lang_psi_drift": """
+            with base as (
+                select lang as category, count(*) as cnt from documents group by 1
+            ), cur as (
+                select lang as category, count(*) as obs
+                  from documents where source = 'src1' group by 1
+            ), joined as (
+                select coalesce(b.category, c.category) as category,
+                       coalesce(c.obs, 0) as obs, coalesce(b.cnt, 0) as base_cnt
+                  from base b full outer join cur c using (category)
+            ), tot as (
+                select sum(obs) as n_cur, sum(base_cnt) as n_base from joined
+            ), per as (
+                select obs,
+                       greatest(obs / t.n_cur, 1e-4) as p_cur,
+                       greatest(base_cnt / t.n_base, 1e-4) as p_base
+                  from joined, tot t
+            )
+            select round(sum((p_cur - p_base) * ln(p_cur / p_base)), 6) as psi,
+                   sum(obs)::bigint as n_current,
+                   count(*)::bigint as n_categories
               from per
         """,
         "ks_drift_nchars": """

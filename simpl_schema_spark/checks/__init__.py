@@ -11,6 +11,7 @@ from .referential import (  # noqa: F401
 from .drift import (  # noqa: F401
     categorical_counts,
     categorical_drift,
+    categorical_drift_psi,
     numeric_drift_ks,
     numeric_drift_ks_exact,
     numeric_quantile_profile,

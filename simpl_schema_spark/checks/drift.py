@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "categorical_counts",
     "categorical_drift",
+    "categorical_drift_psi",
     "numeric_quantile_profile",
     "numeric_drift_ks",
     "numeric_drift_ks_exact",
@@ -79,6 +80,51 @@ def categorical_drift(
         ).alias("statistic"),
         (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
         F.sum("obs").alias("n_current"),
+    )
+
+
+def categorical_drift_psi(
+    current: DataFrame,
+    baseline_counts: DataFrame,
+    col: str,
+    *,
+    epsilon: float = 1e-4,
+    broadcast_baseline: bool = True,
+) -> DataFrame:
+    """Population Stability Index of ``current[col]`` vs baseline counts.
+
+    PSI = Σ over categories of (p_cur − p_base) · ln(p_cur / p_base), the
+    standard production data-quality drift score (PSI < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 major shift).  Proportions are floored at
+    ``epsilon`` (the usual smoothing) so categories present on only one
+    side contribute a large-but-finite term instead of ±∞.
+
+    Same execution shape as the chi-squared check: the big side reduces to
+    per-category counts FIRST (map-side combine), the tiny baseline
+    broadcast-joins, and the whole statistic is one more 1-row aggregation
+    — nothing here scales with row count except the initial counting scan.
+    Returns ``(psi double, n_current bigint, n_categories bigint)``.
+    """
+    cur = categorical_counts(current, col).alias("cur")
+    base = baseline_counts.alias("base")
+    if broadcast_baseline:
+        base = F.broadcast(base)
+    joined = cur.join(base, on="category", how="full_outer").select(
+        F.col("category"),
+        F.coalesce(F.col("cur.cnt"), F.lit(0)).alias("obs"),
+        F.coalesce(F.col("base.cnt"), F.lit(0)).alias("base_cnt"),
+    )
+    totals = joined.agg(
+        F.sum("obs").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    p_cur = F.greatest(F.col("obs") / F.col("n_cur"), F.lit(epsilon))
+    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(epsilon))
+    term = (p_cur - p_base) * F.log(p_cur / p_base)
+    return j.agg(
+        F.sum(term).alias("psi"),
+        F.sum("obs").alias("n_current"),
+        F.count(F.lit(1)).alias("n_categories"),
     )
 
 

@@ -143,3 +143,40 @@ class TestDrift:
         shifted = docs.select((F.col("n_chars") * 3).alias("n_chars"))
         ks = numeric_drift_ks(shifted, base, "n_chars").collect()[0]
         assert ks.ks_statistic > 0.5
+
+
+class TestPSIDrift:
+    def test_psi_zero_when_identical(self, spark):
+        from simpl_schema_spark.checks import (
+            categorical_counts,
+            categorical_drift_psi,
+        )
+
+        df = spark.createDataFrame(
+            [("a",)] * 60 + [("b",)] * 40, "c string"
+        )
+        base = categorical_counts(df, "c")
+        r = categorical_drift_psi(df, base, "c").collect()[0]
+        assert r.psi == 0.0 and r.n_categories == 2
+
+    def test_psi_detects_shift_and_novel_category(self, spark):
+        import math
+
+        from simpl_schema_spark.checks import (
+            categorical_counts,
+            categorical_drift_psi,
+        )
+
+        base_df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "c string")
+        cur_df = spark.createDataFrame(
+            [("a",)] * 80 + [("b",)] * 10 + [("z",)] * 10, "c string"
+        )
+        base = categorical_counts(base_df, "c")
+        r = categorical_drift_psi(cur_df, base, "c").collect()[0]
+        eps = 1e-4
+        expected = sum(
+            (pc - pb) * math.log(pc / pb)
+            for pc, pb in [(0.8, 0.5), (0.1, 0.5), (0.1, eps)]
+        )
+        assert abs(r.psi - expected) < 1e-9
+        assert r.psi > 0.25  # major shift registers above the usual cutoff
