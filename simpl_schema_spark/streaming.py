@@ -16,7 +16,37 @@ from pyspark.sql import DataFrame, functions as F
 from .schema.schema import SimpleSchema
 from .validation import with_violations
 
-__all__ = ["validate_stream", "streaming_violation_counts"]
+__all__ = [
+    "validate_stream",
+    "streaming_violation_counts",
+    "stream_dedup_exact",
+]
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+    fp_col: str = "__fp",
+) -> DataFrame:
+    """Streaming exact dedup for crawl ingestion: keep the first arrival of
+    each (normalized) content fingerprint.
+
+    ``dropDuplicatesWithinWatermark`` on a 64-bit fingerprint — NOT the
+    text — so the dedup state store holds one long per distinct document
+    inside the watermark horizon, and late re-crawls beyond the horizon age
+    out instead of growing state forever (the batch analog is
+    ``dedup/exact.dedup_exact``; the horizon bound is what makes the
+    streaming form viable at crawl scale).
+    """
+    from .text.analysis import fingerprint
+
+    keyed = stream_df.withWatermark(ts_col, watermark).withColumn(
+        fp_col, fingerprint(F.col(text_col))
+    )
+    return keyed.dropDuplicatesWithinWatermark([fp_col]).drop(fp_col)
 
 
 def validate_stream(

@@ -223,3 +223,41 @@ class TestSinglePassRuns:
             docs, documents_schema(), out, single_pass=True
         )
         assert not os.path.exists(stale)
+
+
+class TestStreamDedup:
+    def test_stream_dedup_keeps_one_per_content(self, spark, tmp_path):
+        from simpl_schema_spark.streaming import stream_dedup_exact
+
+        src = str(tmp_path / "dsrc")
+        rows = [
+            (f"https://x.example/{i}", f"2024-01-01 00:{i:02d}:00", f"content {i}")
+            for i in range(40)
+        ] + [
+            # exact re-crawls of the first 10 pages, 1-2 minutes later
+            (f"https://dup.example/{i}", f"2024-01-01 00:{i+1:02d}:30", f"content {i}")
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "url string, ts string, text string")
+        df.withColumn("warc_ts", F.col("ts").cast("timestamp")).drop("ts").write.mode(
+            "overwrite"
+        ).parquet(src)
+        static_schema = spark.read.parquet(src).schema
+
+        stream = spark.readStream.schema(static_schema).parquet(src)
+        deduped = stream_dedup_exact(stream, watermark="2 hours")
+        assert deduped.isStreaming
+
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select count(*) c, count(distinct text) d from dedup_stream"
+        ).collect()[0]
+        # one survivor per distinct content; fp column dropped from output
+        assert got.c == got.d == 40
+        assert "__fp" not in spark.table("dedup_stream").columns
