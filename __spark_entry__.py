@@ -517,6 +517,36 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column validation (checks/vectors.py): wrong-dim /
+    non-finite / zero-vector violation rows.  Corruption is synthesized
+    deterministically (%13 truncates, %17 plants a NaN, %19 zeroes the
+    vector) so the oracle derives expected violations independently."""
+    from simpl_schema_spark.checks import vector_violations
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vid = F.col("vec_id")
+    dim = len(emb.select("embedding").first().embedding)
+    corrupted = emb.select(
+        "vec_id",
+        F.when(vid % 13 == 0, F.slice("embedding", 1, dim - 1))
+        .when(
+            vid % 17 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice("embedding", 2, dim - 1),
+            ),
+        )
+        .when(
+            vid % 19 == 0,
+            F.array_repeat(F.lit(0.0).cast("float"), dim),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return vector_violations(corrupted, "embedding", dim)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -550,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stratified_sample": q_lang_stratified_sample,
         "top_tokens": q_top_tokens,
         "training_pipeline": q_training_pipeline,
+        "vector_violations": q_vector_violations,
     }
 
 
@@ -874,6 +905,14 @@ def oracle_sql() -> dict[str, str]:
             )
             order by n desc, token
             limit 20
+        """,
+        "vector_violations": """
+            select vec_id, 'embedding' as name,
+                   case when vec_id % 13 = 0 then 'expectedDim'
+                        when vec_id % 17 = 0 then 'nonFinite'
+                        when vec_id % 19 = 0 then 'zeroVector' end as type
+              from embeddings
+             where vec_id % 13 = 0 or vec_id % 17 = 0 or vec_id % 19 = 0
         """,
         "training_pipeline": f"""
             with kept as (

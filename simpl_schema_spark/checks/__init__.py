@@ -16,3 +16,7 @@ from .drift import (  # noqa: F401
     numeric_drift_ks_exact,
     numeric_quantile_profile,
 )
+from .vectors import (  # noqa: F401
+    vector_violations,
+    with_vector_violation,
+)

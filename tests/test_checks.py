@@ -180,3 +180,43 @@ class TestPSIDrift:
         )
         assert abs(r.psi - expected) < 1e-9
         assert r.psi > 0.25  # major shift registers above the usual cutoff
+
+
+class TestVectorValidation:
+    def test_violation_types_and_order(self, spark):
+        from simpl_schema_spark.checks import vector_violations
+
+        inf = float("inf")
+        nan = float("nan")
+        rows = [
+            (1, [1.0, 2.0, 3.0]),        # valid
+            (2, [1.0, 2.0]),             # wrong dim
+            (3, None),                   # null -> wrong dim
+            (4, [nan, 1.0, 2.0]),        # non-finite
+            (5, [1.0, -inf, 2.0]),       # non-finite
+            (6, [0.0, 0.0, 0.0]),        # zero vector
+            (7, [nan, 0.0]),             # dim error masks element checks
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+        got = {
+            r.vec_id: r.type
+            for r in vector_violations(df, "v", 3, id_cols=["vec_id"]).collect()
+        }
+        assert got == {
+            2: "expectedDim",
+            3: "expectedDim",
+            4: "nonFinite",
+            5: "nonFinite",
+            6: "zeroVector",
+            7: "expectedDim",
+        }
+
+    def test_with_vector_violation_column(self, spark):
+        from simpl_schema_spark.checks import with_vector_violation
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.5]), (2, [1.0])], "vec_id bigint, v array<double>"
+        )
+        out = {r.vec_id: r.vec_violation
+               for r in with_vector_violation(df, "v", 2).collect()}
+        assert out == {1: None, 2: "expectedDim"}
