@@ -58,6 +58,9 @@ HEADLINE_EXTRA = [
     "hash_sample_docs",
     "lang_stratified_sample",
     "top_tokens",
+    "lang_psi_drift",
+    "training_pipeline",
+    "vector_violations",
 ]
 
 
