@@ -282,6 +282,25 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: iterative hash-min connected components over the
+    exact-Jaccard pair edges (dedup/components.py).  On the dup-seeded
+    corpus the threshold keeps only exact-duplicate edges, so components
+    must equal the normalized-content groups — an SQL-derivable ground
+    truth for an iterative graph algorithm."""
+    from simpl_schema_spark.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.999, max_shingle_df=50
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (rows-only; scoring is engine-defined)."""
     from simpl_schema_spark.text import lang_id
@@ -568,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "clean_documents": q_clean_documents,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "near_dup_components": q_near_dup_components,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
@@ -905,6 +925,16 @@ def oracle_sql() -> dict[str, str]:
             )
             order by n desc, token
             limit 20
+        """,
+        "near_dup_components": f"""
+            with dd as ({_DUP_DOCS_SQL}),
+            g as (
+                select doc_id,
+                       min(doc_id) over (partition by {_NORM_SQL}) as component,
+                       count(*) over (partition by {_NORM_SQL}) as n
+                  from dd where text is not null
+            )
+            select doc_id, component from g where n > 1
         """,
         "vector_violations": """
             select vec_id, 'embedding' as name,

@@ -61,6 +61,7 @@ HEADLINE_EXTRA = [
     "lang_psi_drift",
     "training_pipeline",
     "vector_violations",
+    "near_dup_components",
 ]
 
 

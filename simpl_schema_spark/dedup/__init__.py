@@ -7,3 +7,7 @@ from .minhash import (  # noqa: F401
 )
 from .ngram import jaccard, ngram_jaccard_pairs  # noqa: F401
 from .simhash import hamming_distance, simhash, simhash_near_duplicates  # noqa: F401
+from .components import (  # noqa: F401
+    connected_components,
+    dedup_groups_from_pairs,
+)

@@ -1,0 +1,116 @@
+"""Connected components over near-duplicate pair edges.
+
+Pairwise near-dup detection (minhash/simhash/ngram/embedding LSH) yields
+EDGES; deduplication needs CLUSTERS — a document chained A~B~C must land in
+one group even when (A, C) itself never became a candidate pair.  This is
+connected components on the near-dup graph, computed with iterative
+hash-min label propagation:
+
+    label[v] ← min(label[v], min over neighbors u of label[u])
+
+repeated until no label changes.  Converges in O(graph diameter)
+iterations — near-dup graphs are overwhelmingly small cliques and short
+chains, so 3-5 iterations in practice; ``max_iter`` bounds adversarial
+chains.
+
+Scale shape per iteration: one self-join of the (symmetrized) edge list
+with the label table on the vertex key — co-partitioned hash joins, no
+broadcast of anything row-count-sized — plus a min-aggregation.  Labels
+are persisted per iteration and the PREVIOUS iteration's cache is released
+(the classic iterative-Spark memory leak); convergence is checked with a
+cheap changed-row count.  ``F.localCheckpoint`` optionally cuts the lineage
+chain so 50-iteration worst cases don't build unbounded plans.
+
+The algorithm is the standard hash-min propagation (cf. the "small-star /
+large-star" family of map-reduce CC algorithms); for clique-heavy dedup
+graphs plain hash-min matches their iteration count without the extra
+edge-rewriting passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_groups_from_pairs"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """``(id, component)`` — component = smallest vertex id reachable.
+
+    Only vertices that appear in an edge are returned (isolated documents
+    are their own components trivially; callers left-join if they want
+    every document labeled).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    labels.count()
+
+    for it in range(max_iter):
+        # min neighbor label per vertex, then min with own label
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_comp", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist(blocking=False)
+    return labels
+
+
+def dedup_groups_from_pairs(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """``(component, n_members, member_ids)`` per near-dup cluster —
+    ``component`` is the cluster's smallest id (the canonical survivor a
+    keep-lowest dedup retains)."""
+    comp = connected_components(pairs, src, dst, max_iter=max_iter)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+    )

@@ -486,3 +486,41 @@ class TestMinhashSignatureParity:
             assert (r.a is None) == (r.b is None)
             if r.a is not None:
                 assert list(r.a) == list(r.b)
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique(self, spark):
+        from simpl_schema_spark.dedup import connected_components
+
+        # chain 1-2-3 (1,3 never paired directly) + clique 10-11-12 + pair 20-21
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+            "id_a bigint, id_b bigint",
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_long_chain_converges(self, spark):
+        from simpl_schema_spark.dedup import connected_components
+
+        n = 24
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+        )
+        got = connected_components(edges, max_iter=30).collect()
+        assert all(r.component == 0 for r in got) and len(got) == n + 1
+
+    def test_groups_from_pairs(self, spark):
+        from simpl_schema_spark.dedup import dedup_groups_from_pairs
+
+        edges = spark.createDataFrame(
+            [(5, 9), (9, 7), (30, 31)], "id_a bigint, id_b bigint"
+        )
+        got = {
+            r.component: (r.n_members, list(r.member_ids))
+            for r in dedup_groups_from_pairs(edges).collect()
+        }
+        assert got == {5: (3, [5, 7, 9]), 30: (2, [30, 31])}
