@@ -536,6 +536,17 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf top terms (text/vocab.py): the df table
+    broadcasts back onto per-doc term counts; rank excludes the float
+    score from the compared columns (tf/df are exact integers)."""
+    from simpl_schema_spark.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(_docs(spark, sf_dir), k=3).select(
+        "doc_id", "token", "tf", "df", "rank"
+    )
+
+
 def q_vector_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column validation (checks/vectors.py): wrong-dim /
     non-finite / zero-vector violation rows.  Corruption is synthesized
@@ -601,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "training_pipeline": q_training_pipeline,
         "vector_violations": q_vector_violations,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -925,6 +937,30 @@ def oracle_sql() -> dict[str, str]:
             )
             order by n desc, token
             limit 20
+        """,
+        "tfidf_top_terms": r"""
+            with toks as (
+                select doc_id, unnest(string_split_regex(text, '\s+')) as token
+                  from documents where text is not null
+            ), tt as (
+                select doc_id, token from toks where token <> ''
+            ), tf as (
+                select doc_id, token, count(*) as tf from tt group by 1, 2
+            ), dfreq as (
+                select token, count(distinct doc_id) as df from tt group by 1
+            ), n as (
+                select count(*) as n_docs from documents where text is not null
+            ), scored as (
+                select tf.doc_id, tf.token, tf.tf, dfreq.df,
+                       tf.tf * ln(n.n_docs / dfreq.df) as tf_idf
+                  from tf join dfreq using (token), n
+            ), ranked as (
+                select doc_id, token, tf, df,
+                       row_number() over (partition by doc_id
+                                          order by tf_idf desc, token) as rank
+                  from scored
+            )
+            select doc_id, token, tf, df, rank from ranked where rank <= 3
         """,
         "near_dup_components": f"""
             with dd as ({_DUP_DOCS_SQL}),

@@ -62,6 +62,7 @@ HEADLINE_EXTRA = [
     "training_pipeline",
     "vector_violations",
     "near_dup_components",
+    "tfidf_top_terms",
 ]
 
 

@@ -14,6 +14,7 @@ from .urls import (  # noqa: F401
 )
 from .vocab import (  # noqa: F401
     document_frequencies,
+    tf_idf_top_terms,
     token_frequencies,
     top_tokens,
 )

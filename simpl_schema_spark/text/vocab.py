@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["token_frequencies", "top_tokens", "document_frequencies"]
+__all__ = ["token_frequencies", "top_tokens", "document_frequencies", "tf_idf_top_terms"]
 
 
 def _tokens(text: Column) -> Column:
@@ -68,3 +68,61 @@ def top_tokens(
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` tf-idf terms per document: ``(doc_id, token, tf, df,
+    tf_idf, rank)``.
+
+    Shape: per-doc term counts (one explode + groupBy — map-side combine),
+    document frequencies over the same exploded stream, then the (small —
+    |vocab| rows) df table BROADCASTS back onto the per-doc counts; the
+    per-doc top-k is a window bounded by the document's own term count.
+    ``tf_idf = tf · ln(n_docs / df)``; ordering ties break by token asc so
+    ranks are deterministic.
+    """
+    from pyspark.sql import Window
+
+    docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    docs = docs.persist()
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.col("__text"))).alias("token")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "tf_idf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf_idf").desc(), F.col("token")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tf_idf", "rank")
+    )
+    # docs feeds BOTH aggregation branches of out's single action — release
+    # its cache only after the (k-per-doc-sized) result is materialized
+    from ..cache import materialize_and_release
+
+    return materialize_and_release(out, docs)

