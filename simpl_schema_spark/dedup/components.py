@@ -81,7 +81,9 @@ def connected_components(
             .persist()
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            cp = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist(blocking=False)
+            new_labels = cp
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
