@@ -41,12 +41,22 @@ def connected_components(
     *,
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """``(id, component)`` — component = smallest vertex id reachable.
 
     Only vertices that appear in an edge are returned (isolated documents
     are their own components trivially; callers left-join if they want
     every document labeled).
+
+    Graphs at or below ``small_graph_threshold`` edges are solved with
+    driver-side union-find: near-dup edge sets are typically a tiny
+    fraction of the corpus (pairs ABOVE a high similarity threshold), and
+    a distributed iteration pays 2-3 job-scheduling round-trips per hop —
+    seconds of fixed overhead per iteration regardless of data size.  A
+    million-edge union-find is milliseconds on the driver; beyond the
+    threshold the distributed hash-min loop takes over (set the threshold
+    to 0 to force it).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -54,7 +64,40 @@ def connected_components(
         .distinct()
         .persist()
     )
-    sym.count()
+    n_sym = sym.count()
+
+    if n_sym <= 2 * small_graph_threshold:
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            u, v = r.u, r.v
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN so the root IS the component label
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out_rows = [(x, find(x)) for x in parent]
+        id_type = sym.schema["u"].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component", id_type)]
+        )
+        result = sym.sparkSession.createDataFrame(out_rows, schema)
+        sym.unpersist(blocking=False)
+        return result
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()

@@ -497,11 +497,15 @@ class TestConnectedComponents:
             [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
             "id_a bigint, id_b bigint",
         )
-        got = {
-            r.id: r.component
-            for r in connected_components(edges).collect()
-        }
-        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        for thresh in (0, 1_000_000):  # distributed AND driver-side paths
+            got = {
+                r.id: r.component
+                for r in connected_components(
+                    edges, small_graph_threshold=thresh
+                ).collect()
+            }
+            assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                           20: 20, 21: 20}
 
     def test_long_chain_converges(self, spark):
         from simpl_schema_spark.dedup import connected_components
@@ -510,8 +514,16 @@ class TestConnectedComponents:
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
         )
-        got = connected_components(edges, max_iter=30).collect()
+        # distributed path (threshold 0) must converge over the long chain
+        got = connected_components(
+            edges, max_iter=30, small_graph_threshold=0
+        ).collect()
         assert all(r.component == 0 for r in got) and len(got) == n + 1
+        # driver-side union-find agrees
+        got2 = connected_components(edges, max_iter=30).collect()
+        assert sorted((r.id, r.component) for r in got) == sorted(
+            (r.id, r.component) for r in got2
+        )
 
     def test_groups_from_pairs(self, spark):
         from simpl_schema_spark.dedup import dedup_groups_from_pairs
