@@ -27,7 +27,13 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .ann import cosine, topk_per_query
 
-__all__ = ["train_centroids", "with_cluster_id", "ivf_topk"]
+__all__ = [
+    "train_centroids",
+    "with_cluster_id",
+    "ivf_topk",
+    "write_ivf_index",
+    "read_ivf_index",
+]
 
 
 def train_centroids(
@@ -103,6 +109,55 @@ def with_cluster_id(
     return df.withColumn(out_col, udf(F.col(vec_col)).getItem(0))
 
 
+def write_ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index partitioned BY CLUSTER: the production
+    shape — the index is written once, and every probe-limited search then
+    reads only its probed cells' directories (partition pruning at the
+    source, verified in TestIVFIndexIO).  Centroids ride alongside as a
+    tiny JSON file so a reader needs only the path."""
+    import json
+
+    indexed = with_cluster_id(df, centroids, vec_col=vec_col)
+    indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/cells"
+    )
+    sc = df.sparkSession.sparkContext
+    # one-row text file via the JVM-side Hadoop FS (works on any storage)
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids.json")
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(json.dumps(centroids.tolist()).encode()))
+    out.close()
+
+
+def read_ivf_index(spark, path: str):
+    """→ ``(indexed DataFrame, centroids ndarray)`` from
+    :func:`write_ivf_index` output."""
+    import json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids.json")
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream))
+    chunks = []
+    line = reader.readLine()
+    while line is not None:
+        chunks.append(line)
+        line = reader.readLine()
+    reader.close()
+    centroids = np.array(json.loads("".join(chunks)))
+    return spark.read.parquet(f"{path}/cells"), centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -134,6 +189,14 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(probe_udf(F.col(vec_col))).alias("cluster_id"),
     )
+    if nprobe < len(centroids):
+        # STATIC probed-cell filter: the broadcast join alone cannot prune
+        # a cluster_id-partitioned index at the source; collecting the
+        # (≤ n_centroids-sized) probe set driver-side turns the scan into
+        # `PartitionFilters: [cluster_id IN (...)]` — only probed cell
+        # directories are read (TestIVFIndexIO asserts this on the plan)
+        cells = [r.cluster_id for r in q.select("cluster_id").distinct().collect()]
+        c = c.where(F.col("cluster_id").isin(cells))
     # corpus filtered to probed cells BEFORE scoring; query side broadcast
     scored = c.join(F.broadcast(q), "cluster_id").select(
         "query_id",

@@ -536,3 +536,40 @@ class TestConnectedComponents:
             for r in dedup_groups_from_pairs(edges).collect()
         }
         assert got == {5: (3, [5, 7, 9]), 30: (2, [30, 31])}
+
+
+class TestIVFIndexIO:
+    def test_write_read_prune_and_equivalence(self, spark, tmp_path):
+        from simpl_schema_spark.sim import cosine_topk_bruteforce
+        from simpl_schema_spark.sim.ivf import (
+            ivf_topk,
+            read_ivf_index,
+            train_centroids,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = train_centroids(emb, n_centroids=8, sample_size=500)
+        path = str(tmp_path / "ivf")
+        write_ivf_index(emb, cents, path)
+
+        indexed, cents2 = read_ivf_index(spark, path)
+        assert (cents2 == cents).all()
+        assert "cluster_id" in indexed.columns
+
+        queries = emb.limit(3)
+        # probe-limited search over the stored index prunes partitions
+        probed = ivf_topk(emb, queries, cents2, k=3, nprobe=2, indexed=indexed)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cluster_id" in plan
+        rows = probed.collect()
+        assert len(rows) > 0
+
+        # full probing over the stored index == exact brute force
+        full = ivf_topk(
+            emb, queries, cents2, k=3, nprobe=8, indexed=indexed
+        ).collect()
+        bf = cosine_topk_bruteforce(emb, queries, k=3).collect()
+        key = lambda r: (r.query_id, r.rank)
+        assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in full]) == \
+               sorted([(r.query_id, r.rank, r.neighbor_id) for r in bf])
