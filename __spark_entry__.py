@@ -145,6 +145,20 @@ def q_lang_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nchars_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric PSI over FIXED bin edges (deterministic, SQL-reproducible,
+    unlike approximate-percentile binning)."""
+    from simpl_schema_spark.checks import numeric_drift_psi
+
+    d = _docs(spark, sf_dir)
+    cur = d.where(F.col("source") == "src2")
+    return numeric_drift_psi(
+        cur, d, "n_chars", bin_edges=[100.0, 200.0, 300.0, 400.0]
+    ).select(
+        F.round("psi", 6).alias("psi"), "n_current", "n_baseline"
+    )
+
+
 def q_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS drift (§2.6): src0 slice vs full corpus."""
     from simpl_schema_spark.checks import numeric_drift_ks_exact
@@ -590,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_events": q_referential_events,
         "lang_chi2_drift": q_lang_chi2_drift,
         "lang_psi_drift": q_lang_psi_drift,
+        "nchars_psi_drift": q_nchars_psi_drift,
         "ks_drift_nchars": q_ks_drift_nchars,
         "exact_dup_groups": q_exact_dup_groups,
         "token_counts": q_token_counts,
@@ -778,6 +793,33 @@ def oracle_sql() -> dict[str, str]:
             select round(sum((p_cur - p_base) * ln(p_cur / p_base)), 6) as psi,
                    sum(obs)::bigint as n_current,
                    count(*)::bigint as n_categories
+              from per
+        """,
+        "nchars_psi_drift": """
+            with binned as (
+                select case when n_chars >= 400 then 4
+                            when n_chars >= 300 then 3
+                            when n_chars >= 200 then 2
+                            when n_chars >= 100 then 1
+                            else 0 end as bin,
+                       case when source = 'src2' then 1 else 0 end as is_cur
+                  from documents where n_chars is not null
+            ), c as (
+                select bin,
+                       sum(is_cur) as obs,
+                       count(*) as base_cnt
+                  from binned group by 1
+            ), tot as (
+                select sum(obs) as n_cur, sum(base_cnt) as n_base from c
+            ), per as (
+                select greatest(obs / t.n_cur, 1e-4) as p_cur,
+                       greatest(base_cnt / t.n_base, 1e-4) as p_base,
+                       obs, base_cnt
+                  from c, tot t
+            )
+            select round(sum((p_cur - p_base) * ln(p_cur / p_base)), 6) as psi,
+                   sum(obs)::bigint as n_current,
+                   sum(base_cnt)::bigint as n_baseline
               from per
         """,
         "ks_drift_nchars": """

@@ -63,6 +63,7 @@ HEADLINE_EXTRA = [
     "vector_violations",
     "near_dup_components",
     "tfidf_top_terms",
+    "nchars_psi_drift",
 ]
 
 

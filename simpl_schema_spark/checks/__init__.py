@@ -13,6 +13,7 @@ from .drift import (  # noqa: F401
     categorical_drift,
     categorical_drift_psi,
     numeric_drift_ks,
+    numeric_drift_psi,
     numeric_drift_ks_exact,
     numeric_quantile_profile,
 )
@@ -20,3 +21,4 @@ from .vectors import (  # noqa: F401
     vector_violations,
     with_vector_violation,
 )
+from .schema_drift import schema_drift_violations  # noqa: F401

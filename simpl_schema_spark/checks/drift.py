@@ -23,6 +23,7 @@ __all__ = [
     "categorical_counts",
     "categorical_drift",
     "categorical_drift_psi",
+    "numeric_drift_psi",
     "numeric_quantile_profile",
     "numeric_drift_ks",
     "numeric_drift_ks_exact",
@@ -125,6 +126,59 @@ def categorical_drift_psi(
         F.sum(term).alias("psi"),
         F.sum("obs").alias("n_current"),
         F.count(F.lit(1)).alias("n_categories"),
+    )
+
+
+def numeric_drift_psi(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    *,
+    bin_edges: list,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """PSI of a numeric column over EXPLICIT bin edges.
+
+    Edges are fixed (typically the baseline's quantile grid, frozen into
+    the profile table) so the statistic is deterministic and re-runnable —
+    and exactly reproducible in plain SQL, unlike approximate-percentile
+    binning.  Values below the first edge / at-or-above the last land in
+    the open outer bins.  Same scale shape as the categorical PSI: both
+    sides reduce to per-bin counts first; the statistic is one 1-row
+    aggregation.  Returns ``(psi double, n_current, n_baseline)``.
+    """
+    if len(bin_edges) < 2 or sorted(bin_edges) != list(bin_edges):
+        raise ValueError("bin_edges must be ≥2 ascending values")
+
+    def bucket(c: Column) -> Column:
+        b = F.lit(0)
+        for i, edge in enumerate(bin_edges):
+            b = F.when(c >= F.lit(float(edge)), F.lit(i + 1)).otherwise(b)
+        return b
+
+    def counts(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .groupBy(bucket(F.col(col).cast("double")).alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"c_{label}"))
+        )
+
+    cur = counts(current, "cur")
+    base = counts(baseline, "base")
+    joined = cur.join(base, "bin", "full_outer").select(
+        F.coalesce("c_cur", F.lit(0)).alias("obs"),
+        F.coalesce("c_base", F.lit(0)).alias("base_cnt"),
+    )
+    totals = joined.agg(
+        F.sum("obs").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    p_cur = F.greatest(F.col("obs") / F.col("n_cur"), F.lit(epsilon))
+    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(epsilon))
+    return j.agg(
+        F.sum((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi"),
+        F.sum("obs").alias("n_current"),
+        F.sum("base_cnt").alias("n_baseline"),
     )
 
 

@@ -220,3 +220,62 @@ class TestVectorValidation:
         out = {r.vec_id: r.vec_violation
                for r in with_vector_violation(df, "v", 2).collect()}
         assert out == {1: None, 2: "expectedDim"}
+
+
+class TestSchemaDrift:
+    def test_missing_new_and_type_changed(self, spark):
+        from pyspark.sql import types as T
+        from simpl_schema_spark.checks import schema_drift_violations
+
+        baseline = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("gone", T.StringType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [("u", 1.5, True)], "url string, n double, extra boolean"
+        )
+        got = {
+            r.name: (r.type, r.expected, r.actual)
+            for r in schema_drift_violations(df, baseline).collect()
+        }
+        assert got == {
+            "gone": ("missingColumn", "string", None),
+            "n": ("typeChanged", "bigint", "double"),
+            "extra": ("newColumn", None, "boolean"),
+        }
+
+    def test_simpleschema_baseline_and_clean(self, spark):
+        from simpl_schema_spark.checks import schema_drift_violations
+        from simpl_schema_spark.schema import SimpleSchema
+
+        ss = SimpleSchema({"a": str, "b": {"type": int, "optional": True}})
+        df = spark.createDataFrame([("x", 1)], "a string, b bigint")
+        assert schema_drift_violations(df, ss).count() == 0
+
+
+class TestNumericPSI:
+    def test_binned_psi_matches_manual(self, spark):
+        import math
+
+        from simpl_schema_spark.checks import numeric_drift_psi
+
+        base = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+        cur = spark.createDataFrame([(float(i % 5),) for i in range(100)], "x double")
+        r = numeric_drift_psi(cur, base, "x", bin_edges=[0.0, 5.0]).collect()[0]
+        # bins: <0 (empty), [0,5), [5,inf): base 50/50, cur 100/0
+        eps = 1e-4
+        expected = (1.0 - 0.5) * math.log(1.0 / 0.5) + (eps - 0.5) * math.log(eps / 0.5)
+        assert abs(r.psi - expected) < 1e-9
+        assert (r.n_current, r.n_baseline) == (100, 100)
+
+    def test_bad_edges_raise(self, spark):
+        from simpl_schema_spark.checks import numeric_drift_psi
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            numeric_drift_psi(df, df, "x", bin_edges=[3.0, 1.0])
