@@ -999,7 +999,8 @@ def oracle_sql() -> dict[str, str]:
             ), ranked as (
                 select doc_id, token, tf, df,
                        row_number() over (partition by doc_id
-                                          order by tf_idf desc, token) as rank
+                                          order by round(tf_idf * 1e6)::bigint desc,
+                                                   token) as rank
                   from scored
             )
             select doc_id, token, tf, df, rank from ranked where rank <= 3

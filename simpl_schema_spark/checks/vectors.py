@@ -11,7 +11,9 @@ JVM expressions (``F.size`` / ``F.exists``), one projection, fused with
 the scan like every other validator in this engine:
 
 - ``expectedDim``  — array length ≠ the declared dimension (or NULL array)
-- ``nonFinite``    — any element NaN or ±Inf
+- ``nonFinite``    — any element NaN, ±Inf, or NULL (a null element is not
+  a finite number; without an explicit check SQL three-valued logic would
+  let such vectors through as "valid")
 - ``zeroVector``   — every element exactly 0.0
 
 One error per row, in that order (dimension errors mask element checks,
@@ -35,8 +37,10 @@ ZERO_VECTOR = "zeroVector"
 
 def _violation_type(vec: Column, dim: int) -> Column:
     is_bad_dim = vec.isNull() | (F.size(vec) != dim)
+    # x.isNull() FIRST: exists() over (null → NULL, finite → false) yields
+    # SQL NULL, which would skip this branch and report the vector valid
     has_non_finite = F.exists(
-        vec, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+        vec, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
     )
     all_zero = ~F.exists(vec, lambda x: x != 0.0)
     return (

@@ -517,6 +517,10 @@ def _apply_python_array_auto_value(
         return d
 
     def run_leaf(el, leaf, row):
+        # NULL element with a field path: nothing to write into — leave it
+        # null, matching the expression path (withField on a null struct)
+        if el is None and leaf:
+            return None
         v = get_sub(el, leaf)
         ctx = PythonAutoValueContext(key, v, row)
         res = fn(ctx)

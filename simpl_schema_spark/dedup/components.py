@@ -137,6 +137,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence means the labels are
+        # WRONG (a >max_iter-hop chain still spans several labels) —
+        # failing loudly beats silently merging dedup clusters incorrectly
+        sym.unpersist(blocking=False)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter "
+            f"— hash-min needs one iteration per graph-diameter hop"
+        )
     sym.unpersist(blocking=False)
     return labels
 

@@ -35,7 +35,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .errors import ErrorTypes, VIOLATION_SCHEMA
-from .modifiers import _ModifierCompiler, _display, _is_json_null
+from .modifiers import (
+    _ModifierCompiler,
+    _display,
+    _eval_optional,
+    _is_json_null,
+)
 from .compiler.compile import (
     RuleContext,
     violation,
@@ -179,13 +184,7 @@ def json_violations_column(
     var = F.try_parse_json(json_col)
     blackbox = set(schema.blackbox_keys())
 
-    def _optional(d: dict) -> bool:
-        # callable `optional` evaluated like the fixed-column compiler
-        # (compiler/compile.py:401-403): bool(optional())
-        opt = d.get("optional", False)
-        return bool(opt()) if callable(opt) else bool(opt)
-
-    optional_map = {k: _optional(d) for k, d in comp.merged.items()}
+    optional_map = {k: _eval_optional(d) for k, d in comp.merged.items()}
 
     def is_blackboxed(key: str) -> bool:
         return any(key == b or key.startswith(b + ".") for b in blackbox)

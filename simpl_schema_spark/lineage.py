@@ -34,6 +34,7 @@ from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .fsutil import delete_dir as _delete_dir
 from .schema.schema import SimpleSchema
 from .validation import with_violations
 
@@ -42,19 +43,16 @@ __all__ = ["PartitionedValidationRun", "run_partitioned_validation"]
 #: ``wall_scope`` disambiguates the wall_sec reading: 'partition' rows time
 #: one partition's job; 'batch' rows (single_pass mode) all share the whole
 #: batch's wall — per-partition attribution doesn't exist in a single job.
+#: MIGRATION NOTE: metrics written before wall_scope existed lack the
+#: column; when resuming a pre-existing output_dir, read the metrics table
+#: with ``spark.read.option("mergeSchema", "true")`` — old rows surface
+#: wall_scope as NULL (semantically 'partition', the only mode then).
 _METRICS_DDL = (
     "run_id string, part_key string, n_rows bigint, n_violations bigint, "
     "n_invalid_rows bigint, wall_sec double, wall_scope string"
 )
 
 
-def _delete_dir(spark: SparkSession, path: str) -> None:
-    """Delete a directory through the Hadoop FileSystem API (works on any
-    supported FS, not just local paths); no-op if absent."""
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
 
 
 @dataclass

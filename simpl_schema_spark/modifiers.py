@@ -559,14 +559,7 @@ def validate_modifier_table(
 
     # ---- required: explicit null / $unset / $rename -------------------------
     required_rows = []
-
-    def _optional(d: dict) -> bool:
-        # callable optional evaluated like the fixed-column compiler
-        # (compiler/compile.py:401-403): bool(optional())
-        opt = d.get("optional", False)
-        return bool(opt()) if callable(opt) else bool(opt)
-
-    optional_map = {k: _optional(d) for k, d in comp.merged.items()}
+    optional_map = {k: _eval_optional(d) for k, d in comp.merged.items()}
     non_optional = [k for k, opt in optional_map.items() if not opt]
     req_cond = None
     if non_optional:
@@ -636,31 +629,36 @@ def validate_modifier_table(
         )
 
     def _token_udf(fn, key: str, wants_ctx: bool):
+        """Key-masked validator UDF.  Spark extracts pandas UDFs into an
+        ArrowEvalPython node evaluated for EVERY row regardless of the
+        CASE gating around the result, so the mask column must travel
+        into the UDF — otherwise a type-sensitive validator for key X
+        would also receive other keys' decoded values and could raise."""
         from .validation import FieldContext
-
-        def decode_row(entries):
-            row = {}
-            if entries is None:
-                return row
-            for e in entries:
-                if e["op"] in _VALUE_OPS and e["key"] not in row:
-                    row[e["key"]] = _decode_token(e["value"])
-            return row
 
         if wants_ctx:
 
-            def _apply(tokens: pd.Series, ents: pd.Series) -> pd.Series:
+            def _apply(
+                tokens: pd.Series, masks: pd.Series, ents: pd.Series
+            ) -> pd.Series:
                 out = []
-                for tok, en in zip(tokens, ents):
+                for tok, m, en in zip(tokens, masks, ents):
+                    if not m:
+                        out.append(None)
+                        continue
                     val = _decode_token(tok)
-                    out.append(fn(val, FieldContext(key, val, decode_row(en))))
+                    out.append(
+                        fn(val, FieldContext(key, val, _decode_entry_row(en)))
+                    )
                 return pd.Series(out, dtype=object)
 
             return F.pandas_udf(_apply, T.StringType())
 
-        def _apply(tokens: pd.Series) -> pd.Series:
+        def _apply(tokens: pd.Series, masks: pd.Series) -> pd.Series:
             return pd.Series(
-                [fn(_decode_token(t)) for t in tokens], dtype=object
+                [fn(_decode_token(t)) if m else None
+                 for t, m in zip(tokens, masks)],
+                dtype=object,
             )
 
         return F.pandas_udf(_apply, T.StringType())
@@ -668,6 +666,12 @@ def validate_modifier_table(
     def _custom_chain(key: str, name: Column) -> list[Column]:
         """Ordered custom-violation columns for one key's value token."""
         chain: list[Column] = []
+        # item keys (tags.$) chain onto BOTH concrete-index rows (tags.0 →
+        # generic tags.$) and single-value $push rows (generic tags)
+        if key.endswith(".$"):
+            mask = (generic == key) | (generic == key[: -len(".$")])
+        else:
+            mask = generic == key
         for fn in _customs_for(key):
             if getattr(fn, "_is_spark_rule", False):
                 typed = _typed_token(key, v)
@@ -680,7 +684,9 @@ def validate_modifier_table(
             else:
                 wants = _wants_context(fn)
                 udf = _token_udf(fn, key, wants)
-                err_type = udf(v, entries_col) if wants else udf(v)
+                err_type = (
+                    udf(v, mask, entries_col) if wants else udf(v, mask)
+                )
             chain.append(
                 F.when(
                     err_type.isNotNull(),
@@ -1161,6 +1167,27 @@ def _decode_token(tok):
         return None
 
 
+def _eval_optional(d: dict) -> bool:
+    """Callable ``optional`` definitions evaluate like the fixed-column
+    compiler (compiler/compile.py:401-403): ``bool(optional())``."""
+    opt = d.get("optional", False)
+    return bool(opt()) if callable(opt) else bool(opt)
+
+
+def _decode_entry_row(entries) -> dict:
+    """Decode a document's operator entries into a {key: value} dict for
+    cross-field FieldContext lookups (value-carrying ops only, first
+    entry per key wins).  ``entries`` arrives as a numpy array — test
+    ``is None``, never truthiness."""
+    row: dict = {}
+    if entries is None:
+        return row
+    for e in entries:
+        if e["op"] in _VALUE_OPS and e["key"] not in row:
+            row[e["key"]] = _decode_token(e["value"])
+    return row
+
+
 def _each_merge_udf(fns, item_key: str):
     """$each + Python item validators: per-element merge of the expression
     violations (built-in + @spark_rule, already computed JVM-side) with the
@@ -1173,19 +1200,10 @@ def _each_merge_udf(fns, item_key: str):
     wants = [_wants_context(fn) for fn in fns]
     field_names = [nm for nm, _ in VIOLATION_FIELDS]
 
-    def decode_row(entries):
-        row = {}
-        if entries is None:
-            return row
-        for e in entries:
-            if e["op"] in _VALUE_OPS and e["key"] not in row:
-                row[e["key"]] = _decode_token(e["value"])
-        return row
-
     def run(expr_viols, tokens, name, entries):
         if tokens is None:
             return []
-        row = decode_row(entries)
+        row = _decode_entry_row(entries)
         out = []
         for i, tok in enumerate(tokens):
             ev = None

@@ -127,14 +127,12 @@ def write_ivf_index(
     indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(
         f"{path}/cells"
     )
-    sc = df.sparkSession.sparkContext
-    # one-row text file via the JVM-side Hadoop FS (works on any storage)
-    jvm = sc._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids.json")
-    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    out.write(bytearray(json.dumps(centroids.tolist()).encode()))
-    out.close()
+    from ..fsutil import write_text
+
+    write_text(
+        df.sparkSession, f"{path}/centroids.json",
+        json.dumps(centroids.tolist()),
+    )
 
 
 def read_ivf_index(spark, path: str):
@@ -142,19 +140,9 @@ def read_ivf_index(spark, path: str):
     :func:`write_ivf_index` output."""
     import json
 
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids.json")
-    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream))
-    chunks = []
-    line = reader.readLine()
-    while line is not None:
-        chunks.append(line)
-        line = reader.readLine()
-    reader.close()
-    centroids = np.array(json.loads("".join(chunks)))
+    from ..fsutil import read_text
+
+    centroids = np.array(json.loads(read_text(spark, f"{path}/centroids.json")))
     return spark.read.parquet(f"{path}/cells"), centroids
 
 

@@ -113,8 +113,13 @@ def tf_idf_top_terms(
             "tf_idf"
         ),
     )
+    # rank on a QUANTIZED score (micro-units, bigint): Math.log and a SQL
+    # engine's ln() may differ in the last ulp, and two mathematically
+    # equal scores computed via different (tf, df) pairs could order
+    # differently across engines — integer micro-units make the ordering
+    # engine-portable, with ties broken by token
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tf_idf").desc(), F.col("token")
+        F.round(F.col("tf_idf") * 1e6).cast("long").desc(), F.col("token")
     )
     out = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -503,3 +503,28 @@ class TestNestedArrayAutoValues:
         )
         out = clean(df, ss).collect()[0].grid
         assert [list(g) for g in out] == [[2, 4], [6]]
+
+    def test_python_fn_null_struct_element_left_null(self, spark):
+        # regression: arrays with NULL struct elements must not crash the
+        # Arrow rebuild; null elements stay null like the expression path
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def title(ctx):
+            if ctx.value is None:
+                return "Anon"
+            return ctx.value.title()
+
+        ss = SimpleSchema(
+            {
+                "friends": {"type": SimpleSchema.Array, "optional": True},
+                "friends.$": {"type": dict},
+                "friends.$.name": {"type": str, "autoValue": title},
+            }
+        )
+        df = spark.createDataFrame(
+            [([None, {"name": "bob"}],)],
+            "friends array<struct<name string>>",
+        )
+        out = clean(df, ss).collect()[0].friends
+        assert out[0] is None and out[1].name == "Bob"

@@ -196,6 +196,7 @@ class TestVectorValidation:
             (5, [1.0, -inf, 2.0]),       # non-finite
             (6, [0.0, 0.0, 0.0]),        # zero vector
             (7, [nan, 0.0]),             # dim error masks element checks
+            (8, [None, 1.0, 2.0]),       # NULL element -> nonFinite
         ]
         df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
         got = {
@@ -209,6 +210,7 @@ class TestVectorValidation:
             5: "nonFinite",
             6: "zeroVector",
             7: "expectedDim",
+            8: "nonFinite",
         }
 
     def test_with_vector_violation_column(self, spark):

@@ -537,6 +537,16 @@ class TestConnectedComponents:
         }
         assert got == {5: (3, [5, 7, 9]), 30: (2, [30, 31])}
 
+    def test_unconverged_raises(self, spark):
+        from simpl_schema_spark.dedup import connected_components
+
+        # 10-hop chain cannot converge in 2 hash-min iterations
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=2, small_graph_threshold=0)
+
 
 class TestIVFIndexIO:
     def test_write_read_prune_and_equivalence(self, spark, tmp_path):

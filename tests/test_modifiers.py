@@ -574,3 +574,27 @@ class TestModifierCustomValidators:
         got = run(spark, [(1, "$set", "s", '"toolong"', False),
                           (2, "$set", "s", '"zz"', False)], ss)
         assert got == [(1, "s", "maxString"), (2, "s", "custom")]
+
+    def test_type_sensitive_validator_not_fed_other_keys(self, spark):
+        # regression: the pandas UDF is evaluated for EVERY row (ArrowEval
+        # extraction), so without in-UDF masking a numeric validator would
+        # receive the string value from the note row and raise
+        def positive_int(v):
+            if v is not None and v < 1:
+                return "minNumber"
+            return None
+
+        ss = SimpleSchema(
+            {
+                "note": {"type": str, "optional": True},
+                "n": {"type": int, "optional": True, "custom": positive_int},
+            }
+        )
+        got = run(
+            spark,
+            [(1, "$set", "note", '"hello"', False),
+             (1, "$set", "n", "0", False),
+             (2, "$set", "note", '"world"', False)],
+            ss,
+        )
+        assert got == [(1, "n", "minNumber")]
