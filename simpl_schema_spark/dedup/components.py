@@ -29,6 +29,8 @@ edge-rewriting passes.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_groups_from_pairs"]
@@ -106,6 +108,7 @@ def connected_components(
     )
     labels.count()
 
+    changed = -1  # sentinel: max_iter <= 0 means zero iterations ran
     for it in range(max_iter):
         # min neighbor label per vertex, then min with own label
         neigh = (
@@ -142,9 +145,10 @@ def connected_components(
         # WRONG (a >max_iter-hop chain still spans several labels) —
         # failing loudly beats silently merging dedup clusters incorrectly
         sym.unpersist(blocking=False)
+        still = "no iterations ran" if changed < 0 else f"{changed} labels still changing"
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still changing); raise max_iter "
+            f"iterations ({still}); raise max_iter "
             f"— hash-min needs one iteration per graph-diameter hop"
         )
     sym.unpersist(blocking=False)
@@ -157,15 +161,47 @@ def dedup_groups_from_pairs(
     dst: str = "id_b",
     *,
     max_iter: int = 20,
+    small_graph_threshold: int = 1_000_000,
+    max_group_ids: Optional[int] = None,
 ) -> DataFrame:
     """``(component, n_members, member_ids)`` per near-dup cluster —
     ``component`` is the cluster's smallest id (the canonical survivor a
-    keep-lowest dedup retains)."""
-    comp = connected_components(pairs, src, dst, max_iter=max_iter)
+    keep-lowest dedup retains).
+
+    ``max_group_ids`` bounds the reported ``member_ids`` to the that-many
+    smallest ids per component (``n_members`` stays the exact count) with
+    the same two-stage partial-slice shape as
+    :func:`..exact.exact_duplicate_groups` — a degenerate boilerplate
+    cluster with 10^8 members would otherwise funnel one unbounded array
+    through a single aggregation buffer.
+    """
+    comp = connected_components(
+        pairs, src, dst,
+        max_iter=max_iter,
+        small_graph_threshold=small_graph_threshold,
+    )
+    if max_group_ids is None:
+        return (
+            comp.groupBy("component")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sort_array(F.collect_list("id")).alias("member_ids"),
+            )
+        )
+    partial = comp.groupBy("component", F.spark_partition_id().alias("_pid")).agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.slice(
+            F.sort_array(F.collect_list("id")), 1, max_group_ids
+        ).alias("ids_part"),
+    )
     return (
-        comp.groupBy("component")
+        partial.groupBy("component")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("id")).alias("member_ids"),
+            F.sum("n_part").alias("n_members"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ids_part"))),
+                1,
+                max_group_ids,
+            ).alias("member_ids"),
         )
     )

@@ -38,15 +38,42 @@ from .fsutil import delete_dir as _delete_dir
 from .schema.schema import SimpleSchema
 from .validation import with_violations
 
-__all__ = ["PartitionedValidationRun", "run_partitioned_validation"]
+__all__ = [
+    "PartitionedValidationRun",
+    "run_partitioned_validation",
+    "read_metrics",
+]
+
+# Characters Spark/Hive %-escape in partition DIRECTORY names
+# (ExternalCatalogUtils.escapePathName: the Hive charToEscape set plus all
+# ASCII control chars; space stays literal on POSIX).  Directory paths built
+# by hand MUST apply the same escaping or they point at directories Spark
+# never wrote — e.g. a stale-partition delete for part_key="day: 01" would
+# target ".../part_key=day: 01" while Spark wrote ".../part_key=day%3A 01",
+# leaving a crashed attempt's stale files to survive the rerun.
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
+    chr(c) for c in range(0x20)
+)
+
+
+def _escape_partition_value(value) -> str:
+    """Mirror Spark's ExternalCatalogUtils.escapePathName for one value."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    if not s:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in s
+    )
 
 #: ``wall_scope`` disambiguates the wall_sec reading: 'partition' rows time
 #: one partition's job; 'batch' rows (single_pass mode) all share the whole
 #: batch's wall — per-partition attribution doesn't exist in a single job.
 #: MIGRATION NOTE: metrics written before wall_scope existed lack the
-#: column; when resuming a pre-existing output_dir, read the metrics table
-#: with ``spark.read.option("mergeSchema", "true")`` — old rows surface
-#: wall_scope as NULL (semantically 'partition', the only mode then).
+#: column; read the metrics table through :func:`read_metrics` (mergeSchema
+#: + NULL→'partition' backfill) — a plain spark.read.parquet resolves the
+#: schema from one footer and silently drops columns the winning file lacks.
 _METRICS_DDL = (
     "run_id string, part_key string, n_rows bigint, n_violations bigint, "
     "n_invalid_rows bigint, wall_sec double, wall_scope string"
@@ -67,7 +94,8 @@ def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[str]:
     try:
         return {
             r.part_key
-            for r in spark.read.parquet(manifest_dir)
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(manifest_dir)
             .where(F.col("status") == "done")
             .select("part_key")
             .distinct()
@@ -75,6 +103,23 @@ def _manifest_done(spark: SparkSession, manifest_dir: str) -> set[str]:
         }
     except Exception:  # noqa: BLE001 — first run: no manifest yet
         return set()
+
+
+def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read a run's metrics table SAFELY across schema generations.
+
+    Metrics rows appended before ``wall_scope`` existed lack that column;
+    a plain ``spark.read.parquet`` resolves the schema from ONE footer and
+    silently drops whichever columns that file is missing.  mergeSchema
+    unions all footers, surfacing pre-migration rows with wall_scope NULL
+    (semantically 'partition', the only mode that existed then)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{output_dir}/metrics")
+        .withColumn(
+            "wall_scope", F.coalesce(F.col("wall_scope"), F.lit("partition"))
+        )
+    )
 
 
 def run_partitioned_validation(
@@ -150,7 +195,9 @@ def run_partitioned_validation(
         # snapshot's overwrite of the pending partition set is atomic)
         for p in pending:
             _delete_dir(
-                spark, f"{output_dir}/violations/{partition_col}={p}"
+                spark,
+                f"{output_dir}/violations/{partition_col}="
+                f"{_escape_partition_value(p)}",
             )
         (
             viols.write.mode("overwrite")
@@ -215,10 +262,16 @@ def run_partitioned_validation(
             F.explode("violations").alias("violation"),
         ).select(*id_cols, partition_col, "violation.*")
 
-        # partition-scoped overwrite → idempotent re-runs
+        # partition-scoped overwrite → idempotent re-runs; escape the value
+        # exactly as Spark's dynamic-partition writer would so the two run
+        # modes produce one consistent directory layout (and reads via
+        # spark.read.parquet(violations/) recover the original value)
         (
             viols.write.mode("overwrite")
-            .parquet(f"{output_dir}/violations/{partition_col}={part}")
+            .parquet(
+                f"{output_dir}/violations/{partition_col}="
+                f"{_escape_partition_value(part)}"
+            )
         )
         stats = validated.agg(
             F.count(F.lit(1)).alias("n_rows"),

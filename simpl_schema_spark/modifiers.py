@@ -1221,7 +1221,14 @@ def _each_merge_udf(fns, item_key: str):
                     viol = dict.fromkeys(field_names)
                     viol["name"] = name
                     viol["type"] = et
-                    viol["value"] = tok if not (tok or "").lstrip().startswith('"') else str(val)
+                    # mirror jsondoc._display_token: unquote quoted tokens
+                    # that decode to a string; a malformed quoted token
+                    # (decodes to None) falls back to the trimmed token
+                    # rather than the literal "None"
+                    if (tok or "").lstrip().startswith('"'):
+                        viol["value"] = val if isinstance(val, str) else tok.strip()
+                    else:
+                        viol["value"] = tok
                     out.append(viol)
                     break
         return out
@@ -1293,7 +1300,11 @@ def _apply_modifier_auto_values(
                     str(p).startswith("$") for p in res
                 ):
                     new_op = next(p for p in res if str(p).startswith("$"))
-                    new_val = json.dumps(res[new_op])
+                    # _default_as_json, not json.dumps: the reference's
+                    # canonical createdAt pattern returns
+                    # {"$setOnInsert": new Date()} (AutoValueRunner.ts:112-142)
+                    # and datetimes must take the extended-JSON path
+                    new_val = _default_as_json(res[new_op])
                 else:
                     new_op = op0 if op0 in _VALUE_OPS else "$set"
                     new_val = _default_as_json(res)

@@ -12,9 +12,13 @@ decision on a content hash, not on RNG state:
   oracle — reproduces the selection bit-for-bit.
 - :func:`stratified_sample` — exactly ``n`` rows per stratum (e.g. per
   language), chosen by hash order so the per-stratum sample is also
-  deterministic.  One shuffle on the stratum key; per-group state is the
-  window's top-n buffer, bounded by ``n`` per partition via the ranked
-  filter (Spark's WindowExec spills, and n is small by construction).
+  deterministic.  Two-stage bounded top-n (the repo's ann/exact-dup
+  shape), NOT a per-stratum window: a window ``partitionBy(stratum)``
+  funnels EVERY row of a stratum through one task's sort, and with
+  low-cardinality strata (lang='en' is half a web corpus) that one task
+  is a serial bottleneck at scale.  Stage 1 slices the n smallest-hash
+  rows per (stratum, input partition) — state bounded by one input
+  partition; stage 2 merges ≤ n × #partitions candidates per stratum.
 
 At 100 TB prefer ``hash_sample`` (shuffle-free) whenever proportional
 sampling is acceptable; reach for ``stratified_sample`` only when exact
@@ -23,7 +27,7 @@ per-stratum counts matter (eval set construction, per-language caps).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["hash_key", "hash_sample", "stratified_sample"]
 
@@ -57,12 +61,44 @@ def stratified_sample(
     n: int,
 ) -> DataFrame:
     """Exactly ``min(n, |stratum|)`` rows per stratum, deterministic by
-    hash order (ties broken by the key itself for full determinism)."""
-    w = Window.partitionBy(stratum_col).orderBy(
-        hash_key(F.col(key_col)), F.col(key_col)
+    hash order (ties broken by the key itself for full determinism).
+
+    Selected set is identical to ``row_number() over (partition by stratum
+    order by hash_key(key), key) <= n`` but computed with the two-stage
+    bounded top-n shape — no single-task per-stratum sort, and the stage-2
+    shuffle moves only ≤ n rows per (stratum, input partition) instead of
+    the full table.  Sorting compares only ``(hash, key)`` via an explicit
+    ``array_sort`` comparator, so rows may contain non-orderable columns
+    (maps) without breaking the sort.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    # null key → null hash; -1 sorts first, mirroring the window version's
+    # asc-nulls-first default
+    item = F.struct(
+        F.coalesce(hash_key(F.col(key_col)), F.lit(-1)).alias("hk"),
+        F.col(key_col).alias("k"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("row"),
     )
-    return (
-        df.withColumn("__rank", F.row_number().over(w))
-        .where(F.col("__rank") <= n)
-        .drop("__rank")
+
+    def _cmp(a, b):
+        return (
+            F.when(a["hk"] < b["hk"], F.lit(-1))
+            .when(a["hk"] > b["hk"], F.lit(1))
+            .when(a["k"] < b["k"], F.lit(-1))
+            .when(a["k"] > b["k"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    partial = df.groupBy(
+        F.col(stratum_col).alias("__stratum"),
+        F.spark_partition_id().alias("__pid"),
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(item), _cmp), 1, n).alias("__cand")
     )
+    merged = partial.groupBy("__stratum").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__cand")), _cmp), 1, n
+        ).alias("__top")
+    )
+    return merged.select(F.explode("__top").alias("__e")).select("__e.row.*")

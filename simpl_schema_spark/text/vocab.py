@@ -76,16 +76,25 @@ def tf_idf_top_terms(
     id_col: str = "doc_id",
     *,
     k: int = 5,
+    min_df: int = 1,
 ) -> DataFrame:
     """Top-``k`` tf-idf terms per document: ``(doc_id, token, tf, df,
     tf_idf, rank)``.
 
     Shape: per-doc term counts (one explode + groupBy — map-side combine),
-    document frequencies over the same exploded stream, then the (small —
-    |vocab| rows) df table BROADCASTS back onto the per-doc counts; the
-    per-doc top-k is a window bounded by the document's own term count.
-    ``tf_idf = tf · ln(n_docs / df)``; ordering ties break by token asc so
-    ranks are deterministic.
+    document frequencies over the same exploded stream, then a plain
+    equi-join of the two on ``token``.  The join is deliberately NOT
+    broadcast-hinted: a web-scale distinct-token table is itself huge
+    (10^8+ rows of typos/URLs/numbers), and a forced broadcast OOMs the
+    driver where a co-partitioned shuffle join — both sides already hash
+    on ``token`` — is fine; AQE still picks a broadcast at small scale
+    where the vocab fits.  ``min_df`` drops tokens appearing in fewer
+    documents before the join (the standard vocabulary cap — hapax tokens
+    dominate an uncapped web vocab and never score top-k anyway; note a
+    dropped token's doc rows simply don't join, so per-doc results only
+    contain tokens with df ≥ min_df).  The per-doc top-k is a window
+    bounded by the document's own term count.  ``tf_idf = tf · ln(n_docs
+    / df)``; ordering ties break by token asc so ranks are deterministic.
     """
     from pyspark.sql import Window
 
@@ -104,7 +113,9 @@ def tf_idf_top_terms(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    scored = tf.join(F.broadcast(dfreq), "token").select(
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    scored = tf.join(dfreq, "token").select(
         "doc_id",
         "token",
         "tf",

@@ -1,0 +1,284 @@
+"""Round-4 fixes: bounded stratified sampling, capped group member lists,
+connected-components guards, tf-idf join strategy, partition-path escaping,
+metrics schema migration, pseudo-modifier datetime encoding."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import Window, functions as F
+
+
+class TestStratifiedTwoStage:
+    def test_no_window_in_plan(self, spark):
+        # the r3 shape (row_number over partitionBy(stratum)) funnels every
+        # row of a stratum through ONE task — the two-stage shape must not
+        # plan a Window at all
+        from simpl_schema_spark.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [("en", i) for i in range(100)] + [("de", i) for i in range(10)],
+            "g string, k bigint",
+        )
+        plan = (
+            stratified_sample(df, "g", "k", 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+
+    def test_matches_window_semantics(self, spark):
+        # selected set identical to row_number() over (partition by stratum
+        # order by hash, key) <= n
+        from simpl_schema_spark.sampling import hash_key, stratified_sample
+
+        rows = [(f"g{i % 3}", f"key-{i}", i) for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, k string, payload bigint")
+        got = sorted(
+            (r.g, r.k, r.payload)
+            for r in stratified_sample(df, "g", "k", 7).collect()
+        )
+        w = Window.partitionBy("g").orderBy(hash_key(F.col("k")), F.col("k"))
+        want = sorted(
+            (r.g, r.k, r.payload)
+            for r in df.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= 7)
+            .drop("__r")
+            .collect()
+        )
+        assert got == want
+
+    def test_rejects_nonpositive_n(self, spark):
+        from simpl_schema_spark.sampling import stratified_sample
+
+        df = spark.createDataFrame([("a", 1)], "g string, k bigint")
+        with pytest.raises(ValueError):
+            stratified_sample(df, "g", "k", 0)
+
+
+class TestBoundedGroupMembers:
+    def test_member_ids_capped_count_exact(self, spark):
+        from simpl_schema_spark.dedup import dedup_groups_from_pairs
+
+        # one 30-member clique (star edges suffice for connectivity)
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 30)] + [(100, 101)],
+            "id_a bigint, id_b bigint",
+        )
+        rows = {
+            r.component: r
+            for r in dedup_groups_from_pairs(
+                edges, max_group_ids=5
+            ).collect()
+        }
+        big = rows[0]
+        assert big.n_members == 30  # exact despite the cap
+        assert big.member_ids == [0, 1, 2, 3, 4]  # smallest ids kept
+        assert rows[100].member_ids == [100, 101]
+
+    def test_uncapped_unchanged(self, spark):
+        from simpl_schema_spark.dedup import dedup_groups_from_pairs
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+        )
+        [r] = dedup_groups_from_pairs(edges).collect()
+        assert (r.component, r.n_members, sorted(r.member_ids)) == (
+            1, 3, [1, 2, 3],
+        )
+
+
+class TestComponentsGuards:
+    def test_zero_max_iter_raises_runtime_error(self, spark):
+        # regression: formatted `changed` before the loop ever bound it
+        from simpl_schema_spark.dedup import connected_components
+
+        edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                edges, max_iter=0, small_graph_threshold=0
+            )
+
+    def test_small_graph_threshold_forwarded(self, spark):
+        # threshold 0 forces the distributed path through the groups API
+        from simpl_schema_spark.dedup import dedup_groups_from_pairs
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+        )
+        got = sorted(
+            (r.component, r.n_members)
+            for r in dedup_groups_from_pairs(
+                edges, small_graph_threshold=0
+            ).collect()
+        )
+        assert got == [(1, 3), (10, 2)]
+
+
+class TestTfidfJoinStrategy:
+    def test_no_forced_broadcast_hint(self, spark):
+        # the df-side join must not carry an unconditional broadcast hint —
+        # web-scale vocabularies don't fit the driver; AQE may still CHOOSE
+        # a broadcast at small scale, which is fine
+        from simpl_schema_spark.text import tf_idf_top_terms
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b"), (3, "a")], "doc_id bigint, text string"
+        )
+        optimized = (
+            tf_idf_top_terms(df)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "ResolvedHint" not in optimized
+
+    def test_min_df_caps_vocabulary(self, spark):
+        from simpl_schema_spark.text import tf_idf_top_terms
+
+        df = spark.createDataFrame(
+            [(1, "common rare1"), (2, "common rare2"), (3, "common")],
+            "doc_id bigint, text string",
+        )
+        out = tf_idf_top_terms(df, min_df=2).collect()
+        assert {r.token for r in out} == {"common"}
+        assert all(r.df == 3 for r in out)
+
+
+class TestPartitionPathEscaping:
+    def test_escape_matches_spark_writer(self, spark, tmp_path):
+        # the escaped name we build for stale-partition deletes must be the
+        # directory Spark's partitioned writer actually creates
+        from simpl_schema_spark.lineage import _escape_partition_value
+
+        val = "2024-01-01 00:00"
+        df = spark.createDataFrame([(val, 1)], "p string, x bigint")
+        out = str(tmp_path / "esc")
+        df.write.partitionBy("p").parquet(out)
+        import os
+
+        dirs = [d for d in os.listdir(out) if d.startswith("p=")]
+        assert dirs == [f"p={_escape_partition_value(val)}"]
+        # and reading back recovers the original value
+        assert spark.read.parquet(out).collect()[0].p == val
+
+    def test_escape_basics(self):
+        from simpl_schema_spark.lineage import _escape_partition_value
+
+        assert _escape_partition_value("2024-01-01") == "2024-01-01"
+        # space is NOT in Hive's charToEscape set on POSIX — Spark writes
+        # it literally (the writer-parity test above pins this)
+        assert _escape_partition_value("a:b c%d") == "a%3Ab c%25d"
+        assert _escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+        assert _escape_partition_value("") == "__HIVE_DEFAULT_PARTITION__"
+
+    def test_single_pass_clears_stale_escaped_partition(self, spark, tmp_path):
+        # stale files under an ESCAPED partition dir (from a crashed earlier
+        # attempt) must be deleted even when the rerun produces zero
+        # violations for that partition
+        from simpl_schema_spark.lineage import (
+            _escape_partition_value,
+            run_partitioned_validation,
+        )
+        from simpl_schema_spark.schema import SimpleSchema
+
+        out = str(tmp_path / "run")
+        part_val = "day: 01"  # colon → %-escaped directory name
+        stale_dir = (
+            f"{out}/violations/part_key={_escape_partition_value(part_val)}"
+        )
+        assert ":" not in stale_dir.rsplit("/", 1)[1]
+        spark.createDataFrame(
+            [("u0", "stale")], "url string, type string"
+        ).write.parquet(stale_dir)
+
+        ss = SimpleSchema(
+            {
+                "url": {"type": str},
+                "text": {"type": str},
+                "warc_ts": {"type": datetime.datetime},
+            }
+        )
+        df = spark.createDataFrame(
+            [("u1", "ok", datetime.datetime(2024, 1, 1))],
+            "url string, text string, warc_ts timestamp",
+        )
+        run = run_partitioned_validation(
+            df,
+            ss,
+            out,
+            partition_expr=F.concat(
+                F.lit("day: "), F.date_format("warc_ts", "dd")
+            ),
+            single_pass=True,
+        )
+        assert run.completed == [part_val]
+        # zero violations → the stale rows must NOT survive
+        try:
+            n = spark.read.parquet(f"{out}/violations").count()
+        except Exception:
+            n = 0
+        assert n == 0
+
+
+class TestReadMetricsMergeSchema:
+    def test_old_rows_surface_with_backfill(self, spark, tmp_path):
+        from simpl_schema_spark.lineage import read_metrics
+
+        out = str(tmp_path / "m")
+        # pre-wall_scope generation: column absent entirely
+        spark.createDataFrame(
+            [("r1", "p1", 10, 2, 1, 0.5)],
+            "run_id string, part_key string, n_rows bigint, "
+            "n_violations bigint, n_invalid_rows bigint, wall_sec double",
+        ).write.mode("append").parquet(f"{out}/metrics")
+        spark.createDataFrame(
+            [("r2", "p2", 20, 0, 0, 0.7, "batch")],
+            "run_id string, part_key string, n_rows bigint, "
+            "n_violations bigint, n_invalid_rows bigint, wall_sec double, "
+            "wall_scope string",
+        ).write.mode("append").parquet(f"{out}/metrics")
+        got = {r.run_id: r.wall_scope for r in read_metrics(spark, out).collect()}
+        assert got == {"r1": "partition", "r2": "batch"}
+
+
+class TestPseudoModifierDatetime:
+    def test_setOnInsert_datetime_extended_json(self, spark):
+        # reference canonical createdAt pattern (AutoValueRunner.ts:112-142):
+        # fn returns {"$setOnInsert": new Date()} — must encode via the
+        # extended-JSON path, not raw json.dumps (TypeError)
+        from simpl_schema_spark.modifiers import clean_modifier_table
+        from simpl_schema_spark.schema import SimpleSchema
+
+        stamp = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+        def created_at(ctx):
+            if ctx.is_set:
+                return ctx.UNCHANGED
+            return {"$setOnInsert": stamp}
+
+        ss = SimpleSchema(
+            {
+                "name": {"type": str},
+                "createdAt": {
+                    "type": datetime.datetime,
+                    "optional": True,
+                    "autoValue": created_at,
+                },
+            }
+        )
+        df = spark.createDataFrame(
+            [(1, "$set", "name", '"x"', True)],
+            "doc_id bigint, op string, key_path string, value string, "
+            "upsert boolean",
+        )
+        rows = {
+            (r.op, r.key_path): r.value
+            for r in clean_modifier_table(df, ss).collect()
+        }
+        assert ("$setOnInsert", "createdAt") in rows
+        import json as _json
+
+        val = _json.loads(rows[("$setOnInsert", "createdAt")])
+        assert val == {"$date": stamp.isoformat()}
