@@ -432,13 +432,10 @@ def _array_levels(key: str) -> tuple[str, list[str]]:
 def _array_item_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame:
     """Array-position autoValue write-back (getPositionsForAutoValue.ts:43-148)
     for @spark_auto_value expression fns on ``arr.$`` / ``arr.$.field`` /
-    doubly-nested ``arr.$.sub.$.field`` keys: nested ``F.transform`` rebuilds
-    each element (structs rebuilt via withField)."""
+    nested ``arr.$.sub.$.…`` keys at ARBITRARY depth (matching the
+    reference's unbounded recursion): one ``F.transform`` per array level
+    rebuilds each element (structs rebuilt via withField)."""
     head, mids = _array_levels(key)
-    if len(mids) > 2:
-        raise NotImplementedError(
-            f"autoValue under >2 nested arrays ({key!r}) is not supported"
-        )
     top = head.split(".")[0]
     if top not in df.columns:
         return df
@@ -450,36 +447,41 @@ def _array_item_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame:
             return x
         return x.withField(leaf, new_val) if leaf else new_val
 
-    if len(mids) == 1:
-        per_item = lambda x: leaf_item(x, mids[0])  # noqa: E731
-    else:
-        mid, leaf = mids
-
-        def per_item(x: Column) -> Column:
-            inner = x.getField(mid) if mid else x
-            rebuilt = F.when(
-                inner.isNotNull(),
-                F.transform(inner, lambda y: leaf_item(y, leaf)),
-            )
-            return x.withField(mid, rebuilt) if mid else rebuilt
+    def build(x: Column, level: int) -> Column:
+        # mids[level] = path within this level's element: the leaf path at
+        # the innermost level, otherwise the path to the next array.
+        # Single-param transform lambdas only (the two-param form binds the
+        # element INDEX as the second argument).
+        sub = mids[level]
+        if level == len(mids) - 1:
+            return leaf_item(x, sub)
+        inner = x.getField(sub) if sub else x
+        # single-param lambda closing over this call frame's `level` — a
+        # default-arg binding would make the lambda two-parameter and Spark
+        # would pass the element INDEX as the second argument
+        rebuilt = F.when(
+            inner.isNotNull(),
+            F.transform(inner, lambda y: build(y, level + 1)),
+        )
+        return x.withField(sub, rebuilt) if sub else rebuilt
 
     return _set_path(
-        df, head, lambda arr: F.when(arr.isNotNull(), F.transform(arr, per_item))
+        df,
+        head,
+        lambda arr: F.when(
+            arr.isNotNull(), F.transform(arr, lambda x: build(x, 0))
+        ),
     )
 
 
 def _apply_python_array_auto_value(
     df: DataFrame, key: str, fn: Callable
 ) -> DataFrame:
-    """Opaque Python autoValue on array-item keys (single or doubly nested):
-    ONE Arrow-batched UDF takes the whole OUTER array column and returns the
-    rebuilt array — per-leaf Python execution, zero explode/shuffle, same
-    shape as the array-item validator path."""
+    """Opaque Python autoValue on array-item keys (nested to arbitrary
+    depth): ONE Arrow-batched UDF takes the whole OUTER array column and
+    returns the rebuilt array — per-leaf Python execution, zero
+    explode/shuffle, same shape as the array-item validator path."""
     head, mids = _array_levels(key)
-    if len(mids) > 2:
-        raise NotImplementedError(
-            f"autoValue under >2 nested arrays ({key!r}) is not supported"
-        )
     top = head.split(".")[0]
     if top not in df.columns:
         return df
@@ -530,30 +532,43 @@ def _apply_python_array_auto_value(
             return el
         return set_sub(el, leaf, res)
 
-    def run_row(arr, row):
+    def run_arr(arr, row, level):
+        # mids[level]: leaf path at the innermost level, else the path from
+        # this level's element to the next array
         if arr is None:
             return None
-        if len(mids) == 1:
-            return [run_leaf(el, mids[0], row) for el in arr]
-        mid, leaf = mids
+        if level == len(mids) - 1:
+            return [run_leaf(el, mids[level], row) for el in arr]
         out = []
         for el in arr:
-            inner = get_sub(el, mid)
+            inner = get_sub(el, mids[level])
             if inner is None:
                 out.append(el)
                 continue
-            rebuilt = [run_leaf(e2, leaf, row) for e2 in inner]
-            out.append(set_sub(el, mid, rebuilt))
+            out.append(set_sub(el, mids[level], run_arr(inner, row, level + 1)))
         return out
 
     def _apply(arrs, ctx_rows):
         rows = ctx_rows.to_dict("records")
         return pd.Series(
-            [run_row(a, r) for a, r in zip(arrs, rows)], dtype=object
+            [run_arr(a, r, 0) for a, r in zip(arrs, rows)], dtype=object
         )
 
     udf = F.pandas_udf(_apply, arr_type)
     ctx_struct = F.struct(*[F.col(c).alias(c) for c in ctx_cols])
+    from .arrowsafe import arrow_safe_array, needs_arrow_guard
+
+    if needs_arrow_guard(arr_type):
+        # see arrowsafe: null/empty top-level arrays of deeply nested
+        # types segfault the Arrow input conversion — ship [null] and gate
+        # the result back to the original null/empty value
+        return _set_path(
+            df,
+            head,
+            lambda arr: F.when(
+                F.size(arr) > 0, udf(arrow_safe_array(arr, arr_type), ctx_struct)
+            ).otherwise(arr),
+        )
     return _set_path(df, head, lambda arr: udf(arr, ctx_struct))
 
 

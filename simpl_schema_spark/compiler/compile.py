@@ -186,10 +186,11 @@ class _PandasRule:
     # array<string> (error type per element) — no explode, no shuffle
     elementwise: bool = False
     item_subpath: str = ""        # path inside each element ('' = the element)
-    # doubly-nested array-item rules (a.$.b.$.c): path from the OUTER
-    # element to the inner array; the UDF returns array<array<string>> and
-    # the nested lambdas pick entries by (outer, inner) index
-    nested_subpath: Optional[str] = None
+    # nested array-item rules (a.$.b.$.c, arbitrarily deep): path from each
+    # array level's element to the NEXT level's array; the UDF returns
+    # arrays nested one level per entry+1 (array<string>, array<array<
+    # string>>, …) and the nested lambdas pick entries by index per level
+    between_subpaths: list[str] = field(default_factory=list)
 
 
 _NUMERIC_TYPES = (
@@ -651,28 +652,21 @@ class RuleCompiler:
         if in_lambda:
             # Array-item Python validator (validateField.ts:293-306): one
             # Arrow-batched UDF over the WHOLE (outer) array column returns
-            # an error-type per element — array<string> for single-nested
-            # keys, array<array<string>> for doubly-nested (a.$.b.$.c) —
-            # and the lambda(s) pick entries by index: no explode, no
-            # shuffle, violations keep concrete-index names.  The reference
-            # recurses arbitrarily (getPositionsForAutoValue.ts:43-148);
-            # two levels cover its own deepest test schemas.
-            if len(self._lambda_frames) > 2:
-                raise NotImplementedError(
-                    f"Python custom validator under >2 nested arrays "
-                    f"({generic!r}); use @spark_rule (expression) form"
-                )
-            outer_generic, outer_idx = self._lambda_frames[0]
+            # an error-type per element, nested one array level per lambda
+            # frame (array<string> for a.$.b, array<array<string>> for
+            # a.$.b.$.c, and so on for arbitrary depth — matching the
+            # reference's unbounded recursion,
+            # getPositionsForAutoValue.ts:43-148) — and the lambda(s) pick
+            # entries by index per level: no explode, no shuffle,
+            # violations keep concrete-index names.
+            frames = list(self._lambda_frames)
+            outer_generic, _ = frames[0]
             array_path = outer_generic[: -len(".$")]
-            nested_subpath = None
-            if len(self._lambda_frames) == 2:
-                inner_generic, inner_idx = self._lambda_frames[1]
-                nested_subpath = (
-                    inner_generic[len(outer_generic): -len(".$")].strip(".")
-                )
-                item_subpath = generic[len(inner_generic):].lstrip(".")
-            else:
-                item_subpath = generic[len(outer_generic):].lstrip(".")
+            between_subpaths = [
+                nxt[0][len(prev[0]): -len(".$")].strip(".")
+                for prev, nxt in zip(frames, frames[1:])
+            ]
+            item_subpath = generic[len(frames[-1][0]):].lstrip(".")
             cache_key = (generic, id(custom))
             if cache_key in self._pandas_cache:
                 col_name = self._pandas_cache[cache_key]
@@ -692,13 +686,13 @@ class RuleCompiler:
                         context_cols=context_cols,
                         elementwise=True,
                         item_subpath=item_subpath,
-                        nested_subpath=nested_subpath,
+                        between_subpaths=between_subpaths,
                     )
                 )
                 self._pandas_cache[cache_key] = col_name
-            err_type = F.get(F.col(col_name), outer_idx)
-            if nested_subpath is not None:
-                err_type = F.get(err_type, inner_idx)
+            err_type = F.col(col_name)
+            for _, frame_idx in frames:
+                err_type = F.get(err_type, frame_idx)
             return F.when(
                 err_type.isNotNull(),
                 violation(name, err_type, value=_stringify(value, dtype)),

@@ -113,56 +113,72 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
             cur = cur.get(seg) if isinstance(cur, dict) else getattr(cur, seg, None)
         return cur
 
-    def make_item_udf(fn, key, subpath, wants_ctx, nested_subpath=None):
+    def make_item_udf(fn, key, subpath, wants_ctx, between=()):
         """Whole-array UDF: error type per element (see _PandasRule.elementwise).
 
-        ``nested_subpath`` (doubly-nested keys, a.$.b.$.c): path from each
-        outer element to the inner array; the UDF then returns
-        ``array<array<string>>`` — one error type per (outer, inner) index.
+        ``between`` (nested keys, a.$.b.$.c…, arbitrary depth): path from
+        each array level's element to the NEXT level's array; the UDF
+        returns arrays nested ``len(between)+1`` deep — one error type per
+        index tuple — matching the compiler's chained ``F.get`` lookups.
         """
+        between = list(between)
+
         def run_leaf(el, row):
             v = _extract(el, subpath)
             return fn(v, FieldContext(key, v, row)) if wants_ctx else fn(v)
 
-        def run_row(arr, row):
+        def run_arr(arr, row, level):
             if arr is None:
                 return None
+            if level == len(between):
+                return [run_leaf(el, row) for el in arr]
             out = []
             for el in arr:
-                if nested_subpath is None:
-                    out.append(run_leaf(el, row))
-                else:
-                    inner = _extract(el, nested_subpath) if nested_subpath else el
-                    out.append(
-                        None
-                        if inner is None
-                        else [run_leaf(e2, row) for e2 in inner]
-                    )
+                inner = _extract(el, between[level]) if between[level] else el
+                out.append(
+                    None if inner is None else run_arr(inner, row, level + 1)
+                )
             return out
 
         def _apply_plain(arrays: pd.Series) -> pd.Series:
-            return pd.Series([run_row(a, {}) for a in arrays], dtype=object)
+            return pd.Series([run_arr(a, {}, 0) for a in arrays], dtype=object)
 
         def _apply_ctx(arrays: pd.Series, ctx_rows: pd.DataFrame) -> pd.Series:
             rows = ctx_rows.to_dict("records")
             return pd.Series(
-                [run_row(a, r) for a, r in zip(arrays, rows)], dtype=object
+                [run_arr(a, r, 0) for a, r in zip(arrays, rows)], dtype=object
             )
 
         out_t = T.ArrayType(T.StringType())
-        if nested_subpath is not None:
+        for _ in between:
             out_t = T.ArrayType(out_t)
         if wants_ctx:
             return F.pandas_udf(_apply_ctx, out_t)
         return F.pandas_udf(_apply_plain, out_t)
 
+    def _resolve_dtype(schema: T.StructType, path: str) -> T.DataType:
+        cur: T.DataType = schema
+        for seg in path.split("."):
+            cur = cur[seg].dataType  # type: ignore[index]
+        return cur
+
+    from .arrowsafe import arrow_safe_array, needs_arrow_guard
+
     for rule in rules:
         if rule.elementwise:
             arr_col = F.col(rule.input_cols[0])
+            arr_t = _resolve_dtype(df.schema, rule.input_cols[0])
+            if needs_arrow_guard(arr_t):
+                # see arrowsafe: a null/empty top-level array of a >=3-level
+                # nested type segfaults the Arrow input conversion; ship
+                # [null] instead.  The result column is only ever indexed
+                # from lambdas over the REAL array, so the dummy's entries
+                # are never read.
+                arr_col = arrow_safe_array(arr_col, arr_t)
             wants_ctx = bool(rule.context_cols)
             udf = make_item_udf(
                 rule.fn, rule.key, rule.item_subpath, wants_ctx,
-                nested_subpath=rule.nested_subpath,
+                between=rule.between_subpaths,
             )
             if wants_ctx:
                 ctx_struct = F.struct(

@@ -243,6 +243,162 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestDepth3NestedPaths:
+    """Python validators and autoValues under THREE nested array levels —
+    the reference recurses arbitrarily (validateField.ts:293-306,
+    getPositionsForAutoValue.ts:43-148); rounds 1-3 special-cased depths
+    1-2 and guarded deeper keys with NotImplementedError."""
+
+    def test_python_validator_depth3(self, spark):
+        from tests.helpers import expect_errors, expect_valid
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def no_zz(v):
+            return "noZZ" if v == "zz" else None
+
+        ss = SimpleSchema(
+            {
+                "orgs": {"type": SimpleSchema.Array, "optional": True},
+                "orgs.$": {"type": dict},
+                "orgs.$.teams": {"type": SimpleSchema.Array},
+                "orgs.$.teams.$": {"type": dict},
+                "orgs.$.teams.$.tags": {"type": SimpleSchema.Array},
+                "orgs.$.teams.$.tags.$": {"type": str, "custom": no_zz},
+            }
+        )
+        ddl = "orgs array<struct<teams array<struct<tags array<string>>>>>"
+        expect_errors(
+            spark, ss, ddl,
+            {
+                "orgs": [
+                    {"teams": [{"tags": ["ok", "zz"]}, {"tags": ["zz"]}]},
+                    {"teams": [{"tags": ["fine"]}]},
+                ]
+            },
+            [
+                ("orgs.0.teams.0.tags.1", "noZZ"),
+                ("orgs.0.teams.1.tags.0", "noZZ"),
+            ],
+        )
+        expect_valid(
+            spark, ss, ddl, {"orgs": [{"teams": [{"tags": ["a"]}]}]}
+        )
+        # null AND empty top-level arrays: both shapes segfault pyspark's
+        # Arrow input conversion without the arrowsafe [null] substitution
+        expect_valid(spark, ss, ddl, {"orgs": None})
+        expect_valid(spark, ss, ddl, {"orgs": []})
+
+    def test_python_validator_depth3_with_context(self, spark):
+        from tests.helpers import expect_errors
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def below_cap(v, ctx):
+            cap = ctx.field("cap")
+            if v is not None and cap is not None and v > cap:
+                return "overCap"
+            return None
+
+        ss = SimpleSchema(
+            {
+                "cap": int,
+                "cube": {"type": SimpleSchema.Array, "optional": True},
+                "cube.$": {"type": SimpleSchema.Array},
+                "cube.$.$": {"type": SimpleSchema.Array},
+                "cube.$.$.$": {"type": int, "custom": below_cap},
+            }
+        )
+        ddl = "cap bigint, cube array<array<array<bigint>>>"
+        expect_errors(
+            spark, ss, ddl,
+            {"cap": 5, "cube": [[[1, 9], [2]], [[8]]]},
+            [("cube.0.0.1", "overCap"), ("cube.1.0.0", "overCap")],
+        )
+
+    def test_python_auto_value_depth3(self, spark):
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def clamp(ctx):
+            if ctx.value is not None and ctx.value > 10:
+                return 10
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "orgs": {"type": SimpleSchema.Array, "optional": True},
+                "orgs.$": {"type": dict},
+                "orgs.$.teams": {"type": SimpleSchema.Array},
+                "orgs.$.teams.$": {"type": dict},
+                "orgs.$.teams.$.scores": {"type": SimpleSchema.Array},
+                "orgs.$.teams.$.scores.$": {"type": int, "autoValue": clamp},
+            }
+        )
+        df = spark.createDataFrame(
+            [([{"teams": [{"scores": [5, 99]}, {"scores": [12]}]},
+               {"teams": [{"scores": [3]}]}],)],
+            "orgs array<struct<teams array<struct<scores array<bigint>>>>>",
+        )
+        out = clean(df, ss).collect()[0].orgs
+        assert [
+            [list(t.scores) for t in o.teams] for o in out
+        ] == [[[5, 10], [10]], [[3]]]
+
+    def test_spark_auto_value_depth3(self, spark):
+        from simpl_schema_spark.cleaning import clean, spark_auto_value
+        from simpl_schema_spark.schema import SimpleSchema
+
+        @spark_auto_value
+        def double_it(ctx):
+            return ctx.value * 2
+
+        ss = SimpleSchema(
+            {
+                "cube": {"type": SimpleSchema.Array, "optional": True},
+                "cube.$": {"type": SimpleSchema.Array},
+                "cube.$.$": {"type": SimpleSchema.Array},
+                "cube.$.$.$": {"type": int, "autoValue": double_it},
+            }
+        )
+        df = spark.createDataFrame(
+            [([[[1, 2], [3]], [[4]]],)], "cube array<array<array<bigint>>>"
+        )
+        out = clean(df, ss).collect()[0].cube
+        assert [[list(i) for i in m] for m in out] == [[[2, 4], [6]], [[8]]]
+
+    def test_null_inner_arrays_depth3(self, spark):
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def bang(ctx):
+            if ctx.value is None:
+                return ctx.UNCHANGED
+            return ctx.value + "!"
+
+        ss = SimpleSchema(
+            {
+                "orgs": {"type": SimpleSchema.Array, "optional": True},
+                "orgs.$": {"type": dict},
+                "orgs.$.teams": {
+                    "type": SimpleSchema.Array, "optional": True
+                },
+                "orgs.$.teams.$": {"type": dict},
+                "orgs.$.teams.$.tags": {
+                    "type": SimpleSchema.Array, "optional": True
+                },
+                "orgs.$.teams.$.tags.$": {"type": str, "autoValue": bang},
+            }
+        )
+        df = spark.createDataFrame(
+            [([{"teams": None}, {"teams": [{"tags": None},
+                                           {"tags": ["a"]}]}],)],
+            "orgs array<struct<teams array<struct<tags array<string>>>>>",
+        )
+        out = clean(df, ss).collect()[0].orgs
+        assert out[0].teams is None
+        assert out[1].teams[0].tags is None
+        assert list(out[1].teams[1].tags) == ["a!"]
+
+
 class TestPseudoModifierDatetime:
     def test_setOnInsert_datetime_extended_json(self, spark):
         # reference canonical createdAt pattern (AutoValueRunner.ts:112-142):
