@@ -1243,6 +1243,16 @@ def _each_merge_udf(fns, item_key: str):
     return F.pandas_udf(_apply, T.ArrayType(VIOLATION_SCHEMA))
 
 
+class _Skip:
+    """Sentinel: positional autoValue returned UNCHANGED (class, not
+    instance — identity survives pickling to executors)."""
+
+
+class _Remove:
+    """Sentinel: positional autoValue called ctx.unset() — remove the
+    field / null the element / drop the entry."""
+
+
 def _apply_modifier_auto_values(
     out: DataFrame, schema: SimpleSchema, id_col: str
 ) -> DataFrame:
@@ -1254,14 +1264,23 @@ def _apply_modifier_auto_values(
     matches document mode: ``ctx.UNCHANGED`` = leave as is, ``None`` sets
     JSON null, ``ctx.unset()`` removes the entry.
 
+    AutoValue keys under arrays (``a.$.b``) run POSITIONALLY (reference
+    getPositionsForAutoValue.ts:43-148): the fn is applied inside matching
+    entries' decoded JSON — per element of a whole-array ``$set``, to the
+    pushed item (or each ``$each`` item) of ``$push``/``$addToSet``, and to
+    positional/indexed keys (``a.$.b``, ``a.0.b``) directly.  Only plain
+    Python fns run positionally (@spark_auto_value expression fns need a
+    Column context and are document-mode only).
+
     Shape: ONE groupBy(doc) collecting the (bounded, schema-sized) operator
     entries + ONE Arrow-batched UDF evaluating every autoValue fn per doc +
-    one co-partitioned anti-join to drop replaced entries.  AutoValue keys
-    under arrays (``a.$``) are not supported in modifier mode."""
+    one co-partitioned anti-join to drop replaced entries."""
     av_fns = [
-        (k, fn)
+        (k, fn, ".$" in k)
         for k, fn in schema.auto_value_functions()
-        if "$" not in k and not getattr(fn, "is_default", False)
+        if not getattr(fn, "is_default", False)
+        and ("$" not in k or ".$" in k)
+        and not (".$" in k and getattr(fn, "_is_spark_auto_value", False))
     ]
     if not av_fns:
         return out
@@ -1281,41 +1300,142 @@ def _apply_modifier_auto_values(
         )
     )
 
+    def run_scalar(k, fn, ents, upsert):
+        op0, tok = ents.get(k, (None, None))
+        is_set = op0 in _VALUE_OPS
+        val = _decode_token(tok) if is_set else None
+        ctx = _ModifierAutoValueContext(
+            k, val, is_set, ents, bool(upsert), op0 or "$set"
+        )
+        res = fn(ctx)
+        if res is not unchanged:
+            if isinstance(res, dict) and any(
+                str(p).startswith("$") for p in res
+            ):
+                new_op = next(p for p in res if str(p).startswith("$"))
+                # _default_as_json, not json.dumps: the reference's
+                # canonical createdAt pattern returns
+                # {"$setOnInsert": new Date()} (AutoValueRunner.ts:112-142)
+                # and datetimes must take the extended-JSON path
+                ents[k] = (new_op, _default_as_json(res[new_op]))
+            else:
+                new_op = op0 if op0 in _VALUE_OPS else "$set"
+                ents[k] = (new_op, _default_as_json(res))
+        elif ctx._unset:
+            ents.pop(k, None)
+
+    def run_array(g, fn, ents, upsert):
+        segs = g.split(".")
+
+        def run_fn(value, op0):
+            ctx = _ModifierAutoValueContext(
+                g, value, value is not None, ents, bool(upsert), op0
+            )
+            res = fn(ctx)
+            if res is unchanged:
+                return _Remove if ctx._unset else _Skip
+            if ctx._unset:
+                return _Remove
+            return res
+
+        def apply_at(value, path, op0):
+            if not path:
+                return run_fn(value, op0)
+            seg = path[0]
+            if seg == "$":
+                if not isinstance(value, list):
+                    return _Skip
+                new = []
+                any_change = False
+                for el in value:
+                    r = apply_at(el, path[1:], op0)
+                    if r is _Skip:
+                        new.append(el)
+                    else:
+                        any_change = True
+                        new.append(None if r is _Remove else r)
+                return new if any_change else _Skip
+            if not isinstance(value, dict):
+                return _Skip
+            cur = value.get(seg)
+            if len(path) > 1 and not isinstance(cur, (dict, list)):
+                # missing intermediate containers are NOT auto-created
+                return _Skip
+            r = apply_at(cur, path[1:], op0)
+            if r is _Skip:
+                return _Skip
+            d = dict(value)
+            if r is _Remove:
+                d.pop(seg, None)
+            else:
+                d[seg] = r
+            return d
+
+        for k in list(ents):
+            op0, tok = ents[k]
+            kseg = k.split(".")
+            if len(kseg) > len(segs):
+                continue
+            if not all(
+                gs == ks or (gs == "$" and (ks == "$" or ks.isdigit()))
+                for gs, ks in zip(segs, kseg)
+            ):
+                continue
+            remaining = segs[len(kseg):]
+            decoded = _decode_token(tok)
+            if op0 in ("$push", "$addToSet"):
+                # the entry value is ONE element (or $each items): the
+                # leading `$` of the remaining generic path is implicit
+                if not remaining or remaining[0] != "$":
+                    continue
+                rest = remaining[1:]
+                if isinstance(decoded, dict) and isinstance(
+                    decoded.get("$each"), list
+                ):
+                    items, any_change = [], False
+                    for it in decoded["$each"]:
+                        r = apply_at(it, rest, op0)
+                        if r is _Skip:
+                            items.append(it)
+                        else:
+                            any_change = True
+                            items.append(None if r is _Remove else r)
+                    if any_change:
+                        new = dict(decoded)
+                        new["$each"] = items
+                        ents[k] = (op0, _encode_json_value(new))
+                else:
+                    r = apply_at(decoded, rest, op0)
+                    if r is _Remove:
+                        ents.pop(k, None)
+                    elif r is not _Skip:
+                        ents[k] = (op0, _encode_json_value(r))
+            elif op0 in ("$set", "$setOnInsert"):
+                r = apply_at(decoded, remaining, op0)
+                if r is _Remove:
+                    ents.pop(k, None)
+                elif r is not _Skip:
+                    ents[k] = (op0, _encode_json_value(r))
+
     def run(entries, upsert):
         ents = {}
         for e in entries:
             ents.setdefault(e["key"], (e["op"], e["value"]))
+        orig = dict(ents)
+        for k, fn, is_array in av_fns:
+            if is_array:
+                run_array(k, fn, ents, upsert)
+            else:
+                run_scalar(k, fn, ents, upsert)
         acts = []
-        for k, fn in av_fns:
-            op0, tok = ents.get(k, (None, None))
-            is_set = op0 in _VALUE_OPS
-            val = _decode_token(tok) if is_set else None
-            ctx = _ModifierAutoValueContext(
-                k, val, is_set, ents, bool(upsert), op0 or "$set"
-            )
-            res = fn(ctx)
-            new_op = new_val = None
-            if res is not unchanged:
-                if isinstance(res, dict) and any(
-                    str(p).startswith("$") for p in res
-                ):
-                    new_op = next(p for p in res if str(p).startswith("$"))
-                    # _default_as_json, not json.dumps: the reference's
-                    # canonical createdAt pattern returns
-                    # {"$setOnInsert": new Date()} (AutoValueRunner.ts:112-142)
-                    # and datetimes must take the extended-JSON path
-                    new_val = _default_as_json(res[new_op])
-                else:
-                    new_op = op0 if op0 in _VALUE_OPS else "$set"
-                    new_val = _default_as_json(res)
-                ents[k] = (new_op, new_val)
-            elif ctx._unset:
-                ents.pop(k, None)
-            drop = (op0 is not None) and (new_op is not None or ctx._unset)
-            if drop or new_op is not None:
-                acts.append(
-                    {"key": k, "drop": drop, "op": new_op, "value": new_val}
-                )
+        for k, (op_, val_) in ents.items():
+            if k not in orig:
+                acts.append({"key": k, "drop": False, "op": op_, "value": val_})
+            elif orig[k] != (op_, val_):
+                acts.append({"key": k, "drop": True, "op": op_, "value": val_})
+        for k in orig:
+            if k not in ents:
+                acts.append({"key": k, "drop": True, "op": None, "value": None})
         return acts
 
     def _apply(entries: pd.Series, upserts: pd.Series) -> pd.Series:
@@ -1363,3 +1483,19 @@ def _default_as_json(value: Any) -> str:
     if isinstance(value, _dt.datetime):
         return json.dumps({"$date": value.isoformat()})
     return json.dumps(value)
+
+
+def _encode_json_value(value: Any) -> str:
+    """json.dumps with extended-JSON datetimes at ANY nesting depth —
+    positional autoValues rebuild arbitrary JSON structures whose leaves
+    may be datetime returns."""
+    import datetime as _dt
+
+    def _default(o):
+        if isinstance(o, _dt.datetime):
+            return {"$date": o.isoformat()}
+        raise TypeError(
+            f"autoValue returned unencodable {type(o).__name__!r}"
+        )
+
+    return json.dumps(value, default=_default)

@@ -399,6 +399,175 @@ class TestDepth3NestedPaths:
         assert list(out[1].teams[1].tags) == ["a!"]
 
 
+class TestModifierArrayAutoValues:
+    """Positional autoValues in MODIFIER mode — ported from the reference's
+    test/clean/autoValue.tests.ts array cases ('array of objects
+    autoValues', 'objects in arrays', 'updates existing objects when deeply
+    nested (modifier)'); reference getPositionsForAutoValue.ts:43-148."""
+
+    MOD_DDL = (
+        "doc_id bigint, op string, key_path string, value string, "
+        "upsert boolean"
+    )
+
+    def _clean(self, spark, ss, rows):
+        from simpl_schema_spark.modifiers import clean_modifier_table
+
+        df = spark.createDataFrame(rows, self.MOD_DDL)
+        return {
+            (r.doc_id, r.op, r.key_path): r.value
+            for r in clean_modifier_table(df, ss).collect()
+        }
+
+    def _array_of_objects_schema(self):
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def bar(ctx):
+            return "bar"
+
+        return SimpleSchema(
+            {
+                "avArrayOfObjects": {
+                    "type": SimpleSchema.Array, "optional": True
+                },
+                "avArrayOfObjects.$": {"type": dict},
+                "avArrayOfObjects.$.a": {"type": str},
+                "avArrayOfObjects.$.foo": {"type": str, "autoValue": bar},
+            }
+        )
+
+    def test_push_item_gets_autovalue_field(self, spark):
+        import json
+
+        got = self._clean(
+            spark,
+            self._array_of_objects_schema(),
+            [(1, "$push", "avArrayOfObjects", '{"a": "b"}', False)],
+        )
+        val = json.loads(got[(1, "$push", "avArrayOfObjects")])
+        assert val == {"a": "b", "foo": "bar"}
+
+    def test_set_whole_array_each_element(self, spark):
+        import json
+
+        got = self._clean(
+            spark,
+            self._array_of_objects_schema(),
+            [(1, "$set", "avArrayOfObjects",
+              '[{"a": "b"}, {"a": "c"}]', False)],
+        )
+        val = json.loads(got[(1, "$set", "avArrayOfObjects")])
+        assert val == [{"a": "b", "foo": "bar"}, {"a": "c", "foo": "bar"}]
+
+    def test_positional_set_key_overridden(self, spark):
+        # reference 'objects in arrays': $set {'children.$.value': x} with
+        # an autoValue on children.$.value replaces the value in place
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def override(ctx):
+            assert ctx.is_set
+            assert ctx.operator == "$set"
+            return "autoValue"
+
+        ss = SimpleSchema(
+            {
+                "children": {"type": SimpleSchema.Array, "optional": True},
+                "children.$": {"type": dict},
+                "children.$.value": {"type": str, "autoValue": override},
+            }
+        )
+        got = self._clean(
+            spark,
+            ss,
+            [(1, "$set", "children.$.value", '"will be overridden"', False)],
+        )
+        assert got[(1, "$set", "children.$.value")] == '"autoValue"'
+
+    def test_push_each_items(self, spark):
+        import json
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def lower(ctx):
+            if ctx.value is not None:
+                return ctx.value.lower()
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "autoValue": lower},
+            }
+        )
+        got = self._clean(
+            spark,
+            ss,
+            [(1, "$push", "tags", '{"$each": ["FOO", "BAR"]}', False)],
+        )
+        val = json.loads(got[(1, "$push", "tags")])
+        assert val == {"$each": ["foo", "bar"]}
+
+    def test_deeply_nested_push_default(self, spark):
+        # reference 'updates existing objects when deeply nested
+        # (modifier)': integer filled in inside the pushed item
+        import json
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def five(ctx):
+            if ctx.value is None:
+                return 5
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "nested": {"type": SimpleSchema.Array, "optional": True},
+                "nested.$": {"type": dict},
+                "nested.$.doubleNested": {"type": dict},
+                "nested.$.doubleNested.integer": {
+                    "type": int, "autoValue": five
+                },
+            }
+        )
+        got = self._clean(
+            spark,
+            ss,
+            [(1, "$push", "nested", '{"doubleNested": {}}', False)],
+        )
+        val = json.loads(got[(1, "$push", "nested")])
+        assert val == {"doubleNested": {"integer": 5}}
+
+    def test_concrete_index_key(self, spark):
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def bang(ctx):
+            if ctx.value is not None:
+                return ctx.value + "!"
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "autoValue": bang},
+            }
+        )
+        got = self._clean(
+            spark, ss, [(1, "$set", "tags.0", '"hi"', False)]
+        )
+        assert got[(1, "$set", "tags.0")] == '"hi!"'
+
+    def test_untouched_entries_pass_through(self, spark):
+        got = self._clean(
+            spark,
+            self._array_of_objects_schema(),
+            [(1, "$set", "avArrayOfObjects.0.a", '"x"', False)],
+        )
+        # entry matches a PREFIX of the av key's parent only — the leaf
+        # path diverges, so the value passes through untouched.  (Known
+        # limitation vs the reference: would-be SIBLING positions —
+        # synthesizing $set['avArrayOfObjects.0.foo'] from this entry —
+        # are not created.)
+        assert got[(1, "$set", "avArrayOfObjects.0.a")] == '"x"'
+
+
 class TestPseudoModifierDatetime:
     def test_setOnInsert_datetime_extended_json(self, spark):
         # reference canonical createdAt pattern (AutoValueRunner.ts:112-142):
