@@ -230,12 +230,15 @@ def json_violations_column(
                     _SPARK_RULE_TYPES.get(a.get("type"))
                     for a in alts
                 }
-                if len(scalar) != 1 or None in scalar:
-                    raise NotImplementedError(
-                        f"@spark_rule validator on JSON key {k!r} requires a "
-                        f"single scalar declared type; use a Python validator"
+                if len(scalar) == 1 and None not in scalar:
+                    typed = F.try_variant_get(
+                        var, _variant_path(k), scalar.pop()
                     )
-                typed = F.try_variant_get(var, _variant_path(k), scalar.pop())
+                else:
+                    # object- / oneOf-typed key: hand the rule the VARIANT
+                    # value — the rule extracts what it needs with
+                    # try_variant_get(value, '$.path', type)
+                    typed = F.try_variant_get(var, _variant_path(k), "variant")
                 err_type = fn(typed, RuleContext(key=k, name=name, definition=alts[0]))
             else:
                 err_type = _field_validator_udf(fn, k, _wants_context(fn))(
@@ -289,14 +292,14 @@ def json_violations_column(
                     scalar = {
                         _SPARK_RULE_TYPES.get(a.get("type")) for a in item_alts
                     }
-                    if len(scalar) != 1 or None in scalar:
-                        raise NotImplementedError(
-                            f"@spark_rule item validator on JSON key "
-                            f"{item_key!r} requires a single scalar "
-                            f"declared type; use a Python validator"
-                        )
+                    if len(scalar) == 1 and None not in scalar:
+                        elem_t = scalar.pop()
+                    else:
+                        # object-/oneOf-typed items: rule receives each
+                        # element as a VARIANT value
+                        elem_t = "variant"
                     typed_elems = F.try_variant_get(
-                        var, _variant_path(k), f"array<{scalar.pop()}>"
+                        var, _variant_path(k), f"array<{elem_t}>"
                     )
                     ctx = RuleContext(
                         key=item_key,

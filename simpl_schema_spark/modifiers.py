@@ -623,10 +623,11 @@ def validate_modifier_table(
             return F.from_json(
                 F.concat(F.lit('{"v":'), token, F.lit("}")), "v boolean"
             ).getField("v")
-        raise NotImplementedError(
-            f"@spark_rule validator on modifier key {key!r} requires a "
-            f"single scalar declared type; use a Python validator"
-        )
+        # object- / oneOf-typed keys: hand the rule the token parsed as a
+        # VARIANT value (malformed tokens → NULL via try_parse_json, same
+        # contract as object-valued $set recursion); the rule extracts what
+        # it needs with try_variant_get(value, '$.path', type)
+        return F.try_parse_json(token)
 
     def _token_udf(fn, key: str, wants_ctx: bool):
         """Key-masked validator UDF.  Spark extracts pandas UDFs into an

@@ -243,6 +243,116 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestVariantSparkRules:
+    """@spark_rule validators on object-/oneOf-typed keys in JSON and
+    modifier modes — previously NotImplementedError guards; now the rule
+    receives the value as a VARIANT column and extracts fields itself
+    (reference runs custom validators uniformly, validateField.ts:192-226)."""
+
+    def test_json_object_typed_key(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.compiler.compile import spark_rule
+        from simpl_schema_spark.jsondoc import validate_json_column
+        from simpl_schema_spark.schema import SimpleSchema
+
+        @spark_rule
+        def count_cap(value, ctx):
+            return F.when(
+                F.try_variant_get(value, "$.count", "bigint") > 5,
+                F.lit("countTooBig"),
+            )
+
+        ss = SimpleSchema(
+            {
+                "meta": {"type": dict, "optional": True, "custom": count_cap},
+                "meta.count": {"type": int, "optional": True},
+            }
+        )
+        df = spark.createDataFrame(
+            [(0, '{"meta": {"count": 9}}'), (1, '{"meta": {"count": 2}}'),
+             (2, "{}")],
+            "doc_id bigint, json_blob string",
+        )
+        got = sorted(
+            (r.doc_id, r.name, r.type)
+            for r in validate_json_column(df, ss).collect()
+        )
+        assert got == [(0, "meta", "countTooBig")]
+
+    def test_json_oneof_scalar_key(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.compiler.compile import spark_rule
+        from simpl_schema_spark.jsondoc import validate_json_column
+        from simpl_schema_spark.schema import SimpleSchema
+
+        @spark_rule
+        def never_13(value, ctx):
+            # value is a variant: numeric 13 or string "13" both rejected
+            return F.when(
+                F.try_variant_get(value, "$", "string") == "13",
+                F.lit("unlucky"),
+            )
+
+        # oneOf props (incl. custom) attach PER ALTERNATIVE — key-level
+        # props next to a group type are ignored, as in the reference
+        # (standardizeDefinition, SimpleSchema.ts:1170-1196)
+        ss = SimpleSchema(
+            {
+                "v": {
+                    "type": SimpleSchema.oneOf(
+                        {"type": str, "custom": never_13},
+                        {"type": int, "custom": never_13},
+                    ),
+                    "optional": True,
+                },
+            }
+        )
+        df = spark.createDataFrame(
+            [(0, '{"v": 13}'), (1, '{"v": "13"}'), (2, '{"v": 7}')],
+            "doc_id bigint, json_blob string",
+        )
+        got = sorted(
+            (r.doc_id, r.name, r.type)
+            for r in validate_json_column(df, ss).collect()
+        )
+        assert got == [(0, "v", "unlucky"), (1, "v", "unlucky")]
+
+    def test_modifier_object_typed_key(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.compiler.compile import spark_rule
+        from simpl_schema_spark.modifiers import validate_modifier_table
+        from simpl_schema_spark.schema import SimpleSchema
+
+        @spark_rule
+        def count_cap(value, ctx):
+            return F.when(
+                F.try_variant_get(value, "$.count", "bigint") > 5,
+                F.lit("countTooBig"),
+            )
+
+        ss = SimpleSchema(
+            {
+                "meta": {
+                    "type": dict, "optional": True, "blackbox": True,
+                    "custom": count_cap,
+                },
+            }
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "$set", "meta", '{"count": 9}', False),
+                (2, "$set", "meta", '{"count": 1}', False),
+            ],
+            "doc_id bigint, op string, key_path string, value string, "
+            "upsert boolean",
+        )
+        got = sorted(
+            (r.doc_id, r.name, r.type)
+            for r in validate_modifier_table(df, ss).collect()
+        )
+        assert got == [(1, "meta", "countTooBig")]
+
+
 class TestDepth3NestedPaths:
     """Python validators and autoValues under THREE nested array levels —
     the reference recurses arbitrarily (validateField.ts:293-306,
