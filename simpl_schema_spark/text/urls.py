@@ -20,6 +20,8 @@ stable key.
 
 from __future__ import annotations
 
+from typing import Iterable
+
 from pyspark.sql import Column, functions as F
 
 __all__ = ["url_normalize", "url_host", "url_registered_domain"]
@@ -56,6 +58,36 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(no_user, ":.*$", "")
 
 
-def url_registered_domain(url: Column) -> Column:
-    """Last two host labels — a public-suffix-free approximation."""
-    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+def _last_labels(host: Column, n: int) -> Column:
+    """Last ``n`` dot-separated labels of ``host`` ('' when fewer)."""
+    return F.regexp_extract(host, r"((?:[^.]+\.){%d}[^.]+)$" % (n - 1), 1)
+
+
+def url_registered_domain(
+    url: Column, public_suffixes: "Iterable[str] | None" = None
+) -> Column:
+    """Registrable domain of the URL's host.
+
+    Without ``public_suffixes``: the last two host labels — a public-
+    suffix-list-free approximation (right for .com/.org/…, one label short
+    for ccSLDs like ``foo.co.uk`` → ``co.uk``).
+
+    ``public_suffixes`` accepts a caller-supplied set of MULTI-LABEL
+    public suffixes (e.g. ``{"co.uk", "com.au"}`` — or the full PSL, which
+    this library deliberately does not vendor); hosts ending in one keep
+    one extra label (``foo.co.uk`` → ``foo.co.uk``).  Longest suffix wins.
+    Pure expression: the suffix set compiles to an ``isin`` literal list
+    per label count — no broadcast join, fuses with the scan.
+    """
+    host = url_host(url)
+    if not public_suffixes:
+        return _last_labels(host, 2)
+    by_n: dict[int, list[str]] = {}
+    for s in public_suffixes:
+        by_n.setdefault(s.count(".") + 1, []).append(s.lower())
+    expr = None
+    for n in sorted(by_n, reverse=True):  # longest suffixes first
+        cond = _last_labels(host, n).isin(by_n[n])
+        val = _last_labels(host, n + 1)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(_last_labels(host, 2))

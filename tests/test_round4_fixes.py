@@ -243,6 +243,38 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestRegisteredDomainSuffixes:
+    def test_injected_suffix_set(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.text import url_registered_domain
+
+        df = spark.createDataFrame(
+            [
+                ("https://www.foo.co.uk/x",),
+                ("https://a.b.example.com/",),
+                ("https://deep.pref.aichi.jp/",),
+                ("https://co.uk/",),  # bare suffix: no registrable label
+            ],
+            "u string",
+        )
+        sfx = {"co.uk", "com.au", "pref.aichi.jp"}
+        got = [
+            r.d
+            for r in df.select(
+                url_registered_domain(F.col("u"), sfx).alias("d")
+            ).collect()
+        ]
+        assert got == ["foo.co.uk", "example.com", "deep.pref.aichi.jp", ""]
+
+    def test_default_unchanged(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.text import url_registered_domain
+
+        df = spark.createDataFrame([("https://www.foo.co.uk/x",)], "u string")
+        [r] = df.select(url_registered_domain(F.col("u")).alias("d")).collect()
+        assert r.d == "co.uk"  # documented PSL-free approximation
+
+
 class TestVariantSparkRules:
     """@spark_rule validators on object-/oneOf-typed keys in JSON and
     modifier modes — previously NotImplementedError guards; now the rule
