@@ -3,11 +3,12 @@
 Media payloads are opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
 Image decode has a REAL path (pillow when importable, else the vendored
-pure-Python PNG decoder in :mod:`.minipng` — exercised in CI); audio/video
-kernels remain STUBBED (deterministic fake features, clearly marked) since
-their codec libraries are absent here.  The Spark-side plumbing (schemas,
-batch iteration, partition sizing, UDF signatures) is real and tested in
-all modes.
+pure-Python PNG decoder in :mod:`.minipng` — exercised in CI); audio has a
+REAL path for PCM WAV (stdlib ``wave`` + numpy RMS profile — exercised in
+CI), with compressed codecs and video frame decode STUBBED (deterministic
+fake features, clearly marked) since their codec libraries are absent
+here.  The Spark-side plumbing (schemas, batch iteration, partition
+sizing, UDF signatures) is real and tested in all modes.
 
 At 100 TB: media rows are far wider than text rows — repartition by size
 before a decode stage (``target_rows_per_batch``) so one Arrow batch stays
@@ -27,6 +28,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "with_media_meta",
     "decode_image_features",
+    "decode_audio_features",
     "sample_video_frames",
 ]
 
@@ -181,6 +183,110 @@ def decode_image_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=_IMAGE_FEATURES_SCHEMA
+    )
+
+
+_AUDIO_FEATURES_SCHEMA = (
+    "id bigint, sample_rate int, n_channels int, duration_sec double, "
+    "embedding array<float>"
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    embedding_dim: int = 8,
+    use_stub: bool = True,
+) -> DataFrame:
+    """Decode audio and extract features via Arrow-batched mapInPandas.
+
+    ``use_stub=False`` uses a REAL decode path for PCM WAV payloads
+    (stdlib ``wave`` — no codec libraries needed): actual sample rate,
+    channel count, duration, and an ``embedding_dim``-segment RMS energy
+    profile (L2-normalized, numpy-vectorized over the raw frames).
+    Non-WAV / compressed payloads raise NotImplementedError at the decode
+    site, marking where a production codec (ffmpeg/soundfile) plugs in.
+    ``use_stub=True`` produces DETERMINISTIC FAKE features with the same
+    schema and batch shape.
+    """
+
+    def _wav_features(payload: bytes) -> tuple[int, int, float, list[float]]:
+        import io
+        import wave
+
+        import numpy as np
+
+        if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+            raise NotImplementedError(
+                "real decode of non-WAV audio requires a codec library "
+                "(ffmpeg/soundfile); not installed — use use_stub=True"
+            )
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        elif width == 1:
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        else:
+            raise NotImplementedError(
+                f"{8 * width}-bit PCM not supported by the stdlib decode path"
+            )
+        duration = n / float(rate) if rate else 0.0
+        if x.size == 0:
+            return rate, nch, duration, [0.0] * embedding_dim
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        segs = np.array_split(x, embedding_dim)
+        rms = np.array(
+            [float(np.sqrt(np.mean(s * s))) if s.size else 0.0 for s in segs]
+        )
+        norm = float(np.linalg.norm(rms)) or 1.0
+        return rate, nch, duration, [float(v / norm) for v in rms]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            if not use_stub:
+                rates, chans, durs, embs = [], [], [], []
+                for b in pdf[payload_col]:
+                    if b is None:
+                        rates.append(0); chans.append(0); durs.append(0.0)
+                        embs.append([0.0] * embedding_dim)
+                    else:
+                        r, c, d, e = _wav_features(bytes(b))
+                        rates.append(r); chans.append(c); durs.append(d)
+                        embs.append(e)
+                yield pd.DataFrame(
+                    {"id": ids,
+                     "sample_rate": pd.Series(rates, dtype="int32"),
+                     "n_channels": pd.Series(chans, dtype="int32"),
+                     "duration_sec": pd.Series(durs, dtype="float64"),
+                     "embedding": embs}
+                )
+                continue
+            sizes = pdf[payload_col].map(
+                lambda b: len(b) if b is not None else 0
+            )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "sample_rate": ((sizes % 3) * 8000 + 16000).astype("int32"),
+                    "n_channels": ((sizes % 2) + 1).astype("int32"),
+                    "duration_sec": (sizes / 32000.0).astype("float64"),
+                    "embedding": [
+                        [float(((int(s) * (j + 7) * 2654435761) % 1000) / 1000.0)
+                         for j in range(embedding_dim)]
+                        for s in sizes
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=_AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -48,8 +48,11 @@ def train_centroids(
     """Seed-fixed Lloyd k-means on a driver-side sample → (k, dim) array.
 
     The sample is capped (`sample_size` rows via limit on a deterministic
-    hash order) — at 10^12 rows training reads one small slice, never the
-    full table.
+    hash order) — bounded memory (TakeOrderedAndProject), but the hash
+    ORDERING means each training call still SCANS the full corpus once to
+    rank rows.  That's the deliberate price of a deterministic sample;
+    train once and persist the result with :func:`write_ivf_index` rather
+    than re-training per query batch.
     """
     rows = (
         df.select(F.col(vec_col).alias("v"))

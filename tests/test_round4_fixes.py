@@ -243,6 +243,83 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestWavAudioDecode:
+    """Real PCM-WAV decode path (stdlib wave + numpy) — closes the
+    audio half of the multimodal stub; compressed codecs stay stubbed."""
+
+    @staticmethod
+    def _wav_bytes(rate=16000, seconds=1.0, loud_second_half=True):
+        import io
+        import math
+        import wave
+
+        n = int(rate * seconds)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            frames = bytearray()
+            for i in range(n):
+                if loud_second_half and i >= n // 2:
+                    v = int(20000 * math.sin(2 * math.pi * 440 * i / rate))
+                else:
+                    v = 0
+                frames += int(v).to_bytes(2, "little", signed=True)
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    def test_real_wav_features(self, spark):
+        from simpl_schema_spark.multimodal import decode_audio_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav_bytes())), (2, None)],
+            "id bigint, payload binary",
+        )
+        rows = {
+            r.id: r
+            for r in decode_audio_features(
+                df, embedding_dim=4, use_stub=False
+            ).collect()
+        }
+        r1 = rows[1]
+        assert r1.sample_rate == 16000 and r1.n_channels == 1
+        assert abs(r1.duration_sec - 1.0) < 1e-9
+        # energy profile: silent first half, loud second half
+        assert r1.embedding[0] < 0.01 and r1.embedding[1] < 0.01
+        assert r1.embedding[2] > 0.5 and r1.embedding[3] > 0.5
+        assert rows[2].sample_rate == 0 and rows[2].embedding == [0.0] * 4
+
+    def test_non_wav_raises_marked_not_implemented(self, spark):
+        import pytest
+        from simpl_schema_spark.multimodal import decode_audio_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xfb\x90\x00 mp3-ish payload"))],
+            "id bigint, payload binary",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            decode_audio_features(df, use_stub=False).collect()
+
+    def test_stub_shape_matches(self, spark):
+        from simpl_schema_spark.multimodal import decode_audio_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"anything"))], "id bigint, payload binary"
+        )
+        [r] = decode_audio_features(df, embedding_dim=3).collect()
+        assert len(r.embedding) == 3 and r.sample_rate in (16000, 24000, 32000)
+
+    def test_media_meta_sniffs_wav_riff(self, spark):
+        from simpl_schema_spark.multimodal import with_media_meta
+
+        df = spark.createDataFrame(
+            [(bytearray(self._wav_bytes(seconds=0.01)),)], "payload binary"
+        )
+        [r] = with_media_meta(df).select("media_meta.*").collect()
+        assert r.magic == "riff" and r.media_type == "audio"
+
+
 class TestRegisteredDomainSuffixes:
     def test_injected_suffix_set(self, spark):
         from pyspark.sql import functions as F
