@@ -503,6 +503,33 @@ def q_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-aware registrable-domain extraction (text/urls.py
+    url_registered_domain with a caller-supplied public-suffix set):
+    hosts cycle through .com / .co.uk / .com.au by doc_id; the oracle
+    derives the expected domain independently from doc_id."""
+    from simpl_schema_spark.text import url_registered_domain
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    did = F.col("doc_id")
+    tld = (
+        F.when(did % 3 == 0, F.lit("co.uk"))
+        .when(did % 3 == 1, F.lit("com.au"))
+        .otherwise(F.lit("com"))
+    )
+    url = F.concat(
+        F.lit("https://www."), F.lower(F.col("source")), F.lit(".site."),
+        tld, F.lit("/p/"), did.cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        url_registered_domain(
+            F.col("url"), {"co.uk", "com.au"}
+        ).alias("domain"),
+    )
+
+
 def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sampling (sampling.py): md5-keyed so the
     DuckDB oracle reproduces the selection bit-for-bit."""
@@ -622,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_object_set": q_validate_object_set,
         "validate_json_docs": q_validate_json_docs,
         "url_normalized": q_url_normalized,
+        "url_psl_domains": q_url_psl_domains,
         "hash_sample_docs": q_hash_sample_docs,
         "lang_stratified_sample": q_lang_stratified_sample,
         "top_tokens": q_top_tokens,
@@ -949,6 +977,13 @@ def oracle_sql() -> dict[str, str]:
                        || cast(doc_id as varchar) as url_norm,
                    'www.' || lower(source) || '.example.com' as host,
                    'example.com' as domain
+              from documents
+        """,
+        "url_psl_domains": """
+            select doc_id,
+                   case when doc_id % 3 = 0 then 'site.co.uk'
+                        when doc_id % 3 = 1 then 'site.com.au'
+                        else 'site.com' end as domain
               from documents
         """,
         "hash_sample_docs": """
