@@ -503,6 +503,40 @@ def q_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (text/html.py html_to_text): the query
+    builds a deterministic HTML page per document (entity-escaped text,
+    a script block, a comment) and re-extracts; the ORACLE derives the
+    expected visible text independently from the base columns."""
+    from simpl_schema_spark.text import html_to_text
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "source", "text"
+    )
+    esc = F.col("text")
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit('<html><head><title>T</title><script type="text/javascript">'
+              "var x = 1 < 2;</script></head><body><!-- nav -->\n<h1>"),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    return d.select("doc_id", html_to_text(html).alias("extracted"))
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (text/contamination.py): train docs
+    sharing distinct 5-gram shingles with the doc_id<20 'eval set'.
+    Broadcast eval shingle set; the corpus text never shuffles."""
+    from simpl_schema_spark.text import ngram_overlap
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return ngram_overlap(d, d.where(F.col("doc_id") < 20), k=5)
+
+
 def q_url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-aware registrable-domain extraction (text/urls.py
     url_registered_domain with a caller-supplied public-suffix set):
@@ -650,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_json_docs": q_validate_json_docs,
         "url_normalized": q_url_normalized,
         "url_psl_domains": q_url_psl_domains,
+        "html_extract": q_html_extract,
+        "ngram_contamination": q_ngram_contamination,
         "hash_sample_docs": q_hash_sample_docs,
         "lang_stratified_sample": q_lang_stratified_sample,
         "top_tokens": q_top_tokens,
@@ -978,6 +1014,37 @@ def oracle_sql() -> dict[str, str]:
                    'www.' || lower(source) || '.example.com' as host,
                    'example.com' as domain
               from documents
+        """,
+        "html_extract": """
+            select doc_id,
+                   trim(regexp_replace(
+                       'T ' || source || ' ' || text, '\\s+', ' ', 'g'
+                   )) as extracted
+              from documents
+             where text is not null
+        """,
+        "ngram_contamination": f"""
+            with norm as (
+                select doc_id, {_NORM_SQL} as t
+                  from documents where text is not null
+            ), toks as (
+                select doc_id, string_split(t, ' ') as w
+                  from norm where t <> ''
+            ), grams as (
+                select doc_id,
+                       case when len(w) >= 5 then
+                           list_distinct([array_to_string(w[i:i+4], ' ')
+                                          for i in range(1, len(w) - 3)])
+                       else [array_to_string(w, ' ')] end as gs
+                  from toks
+            ), ev as (
+                select distinct unnest(gs) as g from grams where doc_id < 20
+            ), tr as (
+                select doc_id, unnest(gs) as g from grams
+            )
+            select tr.doc_id, count(*) as n_shared
+              from tr join ev using (g)
+             group by tr.doc_id
         """,
         "url_psl_domains": """
             select doc_id,

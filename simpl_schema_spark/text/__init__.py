@@ -7,6 +7,8 @@ from .analysis import (  # noqa: F401
     token_count,
     word_tokens,
 )
+from .contamination import ngram_overlap  # noqa: F401
+from .html import html_to_text  # noqa: F401
 from .urls import (  # noqa: F401
     url_host,
     url_normalize,

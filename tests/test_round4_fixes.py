@@ -243,6 +243,74 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestHtmlToText:
+    def _one(self, spark, html):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.text import html_to_text
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(html_to_text(F.col("h")).alias("t")).collect()[0].t
+
+    def test_strips_tags_scripts_comments(self, spark):
+        html = (
+            '<html><head><script>var x = "1 < 2";</script>'
+            "<style>p { color: red; }</style></head>"
+            "<body><!-- nav --><h1>Title</h1>\n<p>Hello   world</p></body></html>"
+        )
+        assert self._one(spark, html) == "Title Hello world"
+
+    def test_decodes_entities(self, spark):
+        assert (
+            self._one(spark, "<p>a &amp; b &lt;c&gt; &quot;d&quot;&nbsp;e</p>")
+            == 'a & b <c> "d" e'
+        )
+
+    def test_case_insensitive_script_block(self, spark):
+        assert self._one(spark, "<SCRIPT>bad()</SCRIPT><b>ok</b>") == "ok"
+
+
+class TestNgramOverlap:
+    def test_contaminated_docs_flagged(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.text import ngram_overlap
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different words here and there today"),
+                (3, "quick brown fox jumps over something else entirely"),
+            ],
+            "doc_id bigint, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over a fence")],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r.doc_id: r.n_shared
+            for r in ngram_overlap(train, ev, k=3).collect()
+        }
+        # doc 1 shares 'the quick brown', 'quick brown fox',
+        # 'brown fox jumps', 'fox jumps over'; doc 3 shares 3 of those;
+        # doc 2 shares none → absent
+        assert got[1] == 4 and got[3] == 3 and 2 not in got
+
+    def test_broadcast_eval_side(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.text import ngram_overlap
+
+        train = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id bigint, text string"
+        )
+        plan = (
+            ngram_overlap(train, train, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
 class TestWavAudioDecode:
     """Real PCM-WAV decode path (stdlib wave + numpy) — closes the
     audio half of the multimodal stub; compressed codecs stay stubbed."""
