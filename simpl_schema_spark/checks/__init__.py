@@ -22,3 +22,4 @@ from .vectors import (  # noqa: F401
     with_vector_violation,
 )
 from .schema_drift import schema_drift_violations  # noqa: F401
+from .extraction import extraction_mismatches  # noqa: F401

@@ -243,6 +243,45 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestExtractionQA:
+    """North-rule invariant check: stored text == fresh extraction."""
+
+    def test_clean_corpus_has_zero_mismatches(self, spark):
+        from simpl_schema_spark.checks import extraction_mismatches
+        from simpl_schema_spark.datagen import generate_documents
+
+        docs = generate_documents(spark, 500)
+        assert extraction_mismatches(docs).count() == 0
+
+    def test_corrupted_row_flagged(self, spark):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.checks import extraction_mismatches
+        from simpl_schema_spark.datagen import generate_documents
+
+        docs = generate_documents(spark, 100).withColumn(
+            "text",
+            F.when(
+                F.col("url").endswith("/p/7"), F.lit("TAMPERED")
+            ).otherwise(F.col("text")),
+        )
+        rows = extraction_mismatches(docs).collect()
+        assert len(rows) >= 1
+        assert all(r.type == "extractionMismatch" for r in rows)
+        assert all(r.url.endswith("/p/7") for r in rows)
+
+    def test_zero_shuffle_plan(self, spark):
+        from simpl_schema_spark.checks import extraction_mismatches
+        from simpl_schema_spark.datagen import generate_documents
+
+        plan = (
+            extraction_mismatches(generate_documents(spark, 10))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
 class TestHtmlToText:
     def _one(self, spark, html):
         from pyspark.sql import functions as F
