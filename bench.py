@@ -64,6 +64,9 @@ HEADLINE_EXTRA = [
     "near_dup_components",
     "tfidf_top_terms",
     "nchars_psi_drift",
+    "url_psl_domains",
+    "html_extract",
+    "ngram_contamination",
 ]
 
 

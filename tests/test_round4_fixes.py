@@ -880,6 +880,34 @@ class TestModifierArrayAutoValues:
         )
         assert got[(1, "$set", "tags.0")] == '"hi!"'
 
+    def test_pseudo_modifier_each_return(self, spark):
+        # reference '$each in autoValue pseudo modifier': a $set of the
+        # whole array converts to $push {$each: [...]}
+        import json
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def pseudo_each(ctx):
+            if ctx.is_set and ctx.operator == "$set":
+                return {"$push": {"$each": ctx.value}}
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "pseudoEach": {
+                    "type": SimpleSchema.Array, "optional": True,
+                    "autoValue": pseudo_each,
+                },
+                "pseudoEach.$": {"type": str},
+            }
+        )
+        got = self._clean(
+            spark, ss, [(1, "$set", "pseudoEach", '["foo", "bar"]', False)]
+        )
+        assert (1, "$set", "pseudoEach") not in got
+        assert json.loads(got[(1, "$push", "pseudoEach")]) == {
+            "$each": ["foo", "bar"]
+        }
+
     def test_untouched_entries_pass_through(self, spark):
         got = self._clean(
             spark,
