@@ -105,6 +105,12 @@ def categorical_drift_psi(
     broadcast-joins, and the whole statistic is one more 1-row aggregation
     — nothing here scales with row count except the initial counting scan.
     Returns ``(psi double, n_current bigint, n_categories bigint)``.
+
+    NULL categories follow plain SQL join semantics: the two sides' null
+    buckets do NOT line up and each contributes an epsilon-floored term
+    (this is what the SQL oracle computes too).  Pre-coalesce nulls to a
+    sentinel category if a shared null bucket is wanted;
+    :func:`..streaming.psi_per_window` uses null-safe equality instead.
     """
     cur = categorical_counts(current, col).alias("cur")
     base = baseline_counts.alias("base")

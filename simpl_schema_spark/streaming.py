@@ -20,6 +20,8 @@ __all__ = [
     "validate_stream",
     "streaming_violation_counts",
     "stream_dedup_exact",
+    "streaming_category_counts",
+    "psi_per_window",
 ]
 
 
@@ -83,6 +85,88 @@ def streaming_violation_counts(
         F.window(F.col(ts_col), window_duration).alias("window"),
         "violation_type",
     ).agg(F.count(F.lit(1)).alias("violation_count"))
+
+
+def streaming_category_counts(
+    stream_df: DataFrame,
+    col: str,
+    *,
+    ts_col: str = "warc_ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-category counts — the STREAMING half of drift
+    monitoring.  Watermark bounds the aggregation state; output per
+    ``(window, category)``: count.  Feed the result to
+    :func:`psi_per_window` inside ``foreachBatch`` (Spark forbids a second
+    streaming aggregation in the same query)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("window"),
+            F.col(col).alias("category"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_per_window(
+    window_counts: DataFrame,
+    baseline_counts: DataFrame,
+    *,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Per-window PSI of windowed category counts vs a static baseline
+    profile — the ``foreachBatch`` half of streaming drift monitoring.
+
+    ``window_counts``: ``(window, category, cnt)`` (the output of
+    :func:`streaming_category_counts`); ``baseline_counts``:
+    ``(category, cnt)`` (the frozen profile,
+    :func:`.checks.categorical_counts` of the baseline corpus).  Same
+    smoothing and statistic as :func:`.checks.categorical_drift_psi`, per
+    window.  Scale shape: the baseline (and the per-batch window list) is
+    tiny and broadcast; the only non-trivial input is the already-reduced
+    count table.  Returns ``(window, psi, n_current, n_categories)``.
+    """
+    base = baseline_counts.select(
+        F.col("category"), F.col("cnt").alias("base_cnt")
+    )
+    # every (window × baseline-category) cell exists even when the window
+    # saw zero of that category — absence IS drift signal
+    grid = window_counts.select("window").distinct().crossJoin(
+        F.broadcast(base)
+    )
+    # NULL-SAFE category equality: a NULL category is a real bucket (e.g.
+    # missing lang) and must line up across the two sides — plain join
+    # keys would leave both null rows unmatched and double-count the
+    # bucket as drift
+    j = (
+        grid.alias("g")
+        .join(
+            window_counts.alias("c"),
+            (F.col("g.window") == F.col("c.window"))
+            & F.col("g.category").eqNullSafe(F.col("c.category")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("g.window"), F.col("c.window")).alias("window"),
+            F.coalesce(F.col("c.cnt"), F.lit(0)).alias("obs"),
+            F.coalesce(F.col("g.base_cnt"), F.lit(0)).alias("base_cnt"),
+        )
+    )
+    totals = j.groupBy("window").agg(F.sum("obs").alias("n_cur"))
+    base_total = base.agg(F.sum("base_cnt").alias("n_base"))
+    j2 = j.join(F.broadcast(totals), "window").crossJoin(
+        F.broadcast(base_total)
+    )
+    p_cur = F.greatest(F.col("obs") / F.col("n_cur"), F.lit(epsilon))
+    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(epsilon))
+    term = (p_cur - p_base) * F.log(p_cur / p_base)
+    return j2.groupBy("window").agg(
+        F.sum(term).alias("psi"),
+        F.sum("obs").alias("n_current"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
 
 
 def stateful_host_violation_tracker(

@@ -243,6 +243,87 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestStreamingDrift:
+    def test_psi_per_window_matches_batch(self, spark):
+        # the foreachBatch half: per-window PSI over already-windowed
+        # counts must equal the batch categorical_drift_psi on one window
+        from simpl_schema_spark.checks import (
+            categorical_counts,
+            categorical_drift_psi,
+        )
+        from simpl_schema_spark.streaming import psi_per_window
+
+        cur = spark.createDataFrame(
+            [("en",)] * 70 + [("de",)] * 30, "lang string"
+        )
+        base = spark.createDataFrame(
+            [("en",)] * 50 + [("de",)] * 40 + [("fr",)] * 10, "lang string"
+        )
+        base_counts = categorical_counts(base, "lang")
+        batch_psi = categorical_drift_psi(cur, base_counts, "lang").collect()[
+            0
+        ].psi
+
+        win = spark.createDataFrame(
+            [("w1", "en", 70), ("w1", "de", 30)],
+            "window string, category string, cnt bigint",
+        )
+        [r] = psi_per_window(win, base_counts).collect()
+        assert abs(r.psi - batch_psi) < 1e-12
+        assert r.n_current == 100 and r.n_categories == 3
+
+    def test_streaming_counts_through_foreach_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from simpl_schema_spark.checks import categorical_counts
+        from simpl_schema_spark.datagen import generate_documents
+        from simpl_schema_spark.streaming import (
+            psi_per_window,
+            streaming_category_counts,
+        )
+
+        src = str(tmp_path / "drift_src")
+        generate_documents(spark, 500).write.mode("overwrite").parquet(src)
+        static = spark.read.parquet(src)
+        baseline = categorical_counts(static, "lang").persist()
+        baseline.count()
+
+        stream = spark.readStream.schema(static.schema).parquet(src)
+        counts = streaming_category_counts(
+            stream, "lang", window_duration="720 days", watermark="1 hour"
+        )
+        results = []
+
+        def sink(batch_df, batch_id):
+            results.extend(psi_per_window(batch_df, baseline).collect())
+
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert results, "no drift rows emitted"
+        # datagen's out-of-window warc_ts bucket splits the corpus into
+        # two windows; each window's streaming PSI must equal the batch
+        # PSI computed on exactly that time slice (null-safe categories)
+        assert sum(r.n_current for r in results) == 500
+        for r in results:
+            slice_df = static.where(
+                (F.col("warc_ts") >= r.window.start)
+                & (F.col("warc_ts") < r.window.end)
+            ).withColumn("lang", F.coalesce(F.col("lang"), F.lit("\0null")))
+            base_safe = baseline.withColumn(
+                "category", F.coalesce(F.col("category"), F.lit("\0null"))
+            )
+            from simpl_schema_spark.checks import categorical_drift_psi
+
+            expected = categorical_drift_psi(
+                slice_df, base_safe, "lang"
+            ).collect()[0].psi
+            assert abs(r.psi - expected) < 1e-9
+
+
 class TestExtractionQA:
     """North-rule invariant check: stored text == fresh extraction."""
 
@@ -907,6 +988,33 @@ class TestModifierArrayAutoValues:
         assert json.loads(got[(1, "$push", "pseudoEach")]) == {
             "$each": ["foo", "bar"]
         }
+
+    def test_operator_correct_for_pull(self, spark):
+        # reference 'operator correct for $pull': the autoValue ctx sees
+        # $pull as the operator and an unset value
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def watch(ctx):
+            # encode the observation in the OUTPUT (the fn runs in a
+            # Python worker — driver-side side channels don't survive)
+            if ctx.operator == "$pull" and not ctx.is_set:
+                return ctx.UNCHANGED
+            return "WRONG_CONTEXT"
+
+        ss = SimpleSchema(
+            {
+                "foo": {
+                    "type": SimpleSchema.Array, "optional": True,
+                    "autoValue": watch,
+                },
+                "foo.$": {"type": str},
+            }
+        )
+        got = self._clean(
+            spark, ss, [(1, "$pull", "foo", '"bar"', False)]
+        )
+        assert (1, "$pull", "foo") in got
+        assert not any(v == '"WRONG_CONTEXT"' for v in got.values())
 
     def test_untouched_entries_pass_through(self, spark):
         got = self._clean(
