@@ -537,6 +537,24 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(d, d.where(F.col("doc_id") < 20), k=5)
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (text/repetition.py): the
+    query synthesizes line structure (two duplicated prefix lines per doc)
+    so duplicate-line fraction is non-trivial; the oracle replicates both
+    metrics with DuckDB list comprehensions."""
+    from simpl_schema_spark.text import repetition_metrics
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.substring(F.col("text"), 1, 40), F.lit("\n"),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("text"),
+    )
+    return repetition_metrics(d)
+
+
 def q_url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-aware registrable-domain extraction (text/urls.py
     url_registered_domain with a caller-supplied public-suffix set):
@@ -685,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalized": q_url_normalized,
         "url_psl_domains": q_url_psl_domains,
         "html_extract": q_html_extract,
+        "repetition_metrics": q_repetition_metrics,
         "ngram_contamination": q_ngram_contamination,
         "hash_sample_docs": q_hash_sample_docs,
         "lang_stratified_sample": q_lang_stratified_sample,
@@ -1022,6 +1041,38 @@ def oracle_sql() -> dict[str, str]:
                    )) as extracted
               from documents
              where text is not null
+        """,
+        "repetition_metrics": r"""
+            with mod as (
+                select doc_id,
+                       text || chr(10) || substring(text, 1, 40)
+                            || chr(10) || substring(text, 1, 40) as t
+                  from documents where text is not null
+            ), lined as (
+                select doc_id, t,
+                       list_filter([trim(x) for x in string_split(t, chr(10))],
+                                   x -> x <> '') as lines,
+                       list_filter(string_split_regex(t, '\s+'),
+                                   x -> x <> '')[1:2000] as w
+                  from mod
+            ), grams as (
+                select doc_id, lines, w,
+                       case when len(w) >= 2 then
+                           [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                       else null end as gs
+                  from lined
+            )
+            select doc_id,
+                   case when len(lines) > 1 then
+                       (len(lines) - len(list_distinct(lines)))::double
+                           / len(lines)
+                   else 0.0 end as dup_line_frac,
+                   case when len(w) >= 2 then
+                       list_max([len(list_filter(gs, x -> x = g))
+                                 for g in list_distinct(gs)])::double
+                           / (len(w) - 1)
+                   else 0.0 end as top_bigram_cov
+              from grams
         """,
         "ngram_contamination": f"""
             with norm as (

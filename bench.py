@@ -67,6 +67,7 @@ HEADLINE_EXTRA = [
     "url_psl_domains",
     "html_extract",
     "ngram_contamination",
+    "repetition_metrics",
 ]
 
 

@@ -9,6 +9,11 @@ from .analysis import (  # noqa: F401
 )
 from .contamination import ngram_overlap  # noqa: F401
 from .html import html_to_text  # noqa: F401
+from .repetition import (  # noqa: F401
+    duplicate_line_fraction,
+    repetition_metrics,
+    top_bigram_coverage,
+)
 from .urls import (  # noqa: F401
     url_host,
     url_normalize,

@@ -243,6 +243,45 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestRepetitionMetrics:
+    def _one(self, spark, text):
+        from simpl_schema_spark.text import repetition_metrics
+
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        return repetition_metrics(df).collect()[0]
+
+    def test_duplicate_lines(self, spark):
+        r = self._one(spark, "nav bar\ncontent here\nnav bar\nnav bar")
+        assert abs(r.dup_line_frac - 0.5) < 1e-12  # 2 repeats of 4 lines
+
+    def test_stuttered_bigram(self, spark):
+        r = self._one(spark, "buy now buy now buy now buy now")
+        # 7 bigrams: 'buy now' x4, 'now buy' x3 → top coverage 4/7
+        assert abs(r.top_bigram_cov - 4 / 7) < 1e-12
+
+    def test_natural_text_low(self, spark):
+        r = self._one(
+            spark, "the quick brown fox jumps over the lazy sleeping dog"
+        )
+        assert r.dup_line_frac == 0.0
+        assert r.top_bigram_cov <= 1 / 9 + 1e-12  # all bigrams distinct
+
+    def test_degenerate_docs(self, spark):
+        assert self._one(spark, "").top_bigram_cov == 0.0
+        assert self._one(spark, "single").top_bigram_cov == 0.0
+        assert self._one(spark, "single").dup_line_frac == 0.0
+
+    def test_token_cap_bounds_work(self, spark):
+        from simpl_schema_spark.text import repetition_metrics
+
+        df = spark.createDataFrame(
+            [(1, "a b " * 5000)], "doc_id bigint, text string"
+        )
+        [r] = repetition_metrics(df, max_tokens=100).collect()
+        # capped stream: 99 bigrams, 'a b' x50, 'b a' x49 → 50/99
+        assert abs(r.top_bigram_cov - 50 / 99) < 1e-12
+
+
 class TestStreamingDrift:
     def test_psi_per_window_matches_batch(self, spark):
         # the foreachBatch half: per-window PSI over already-windowed
