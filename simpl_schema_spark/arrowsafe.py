@@ -12,17 +12,25 @@ empties are unaffected, and a one-element ``[null]`` top-level array
 round-trips correctly.
 
 The workaround: for list-depth ≥ 3 inputs, substitute ``[null]`` for
-null/empty top-level arrays before the UDF boundary and have the caller
-gate the UDF's result back to the original null/empty.  Callers' per-
-element logic never dereferences the dummy null element (extraction of
-the next level from ``None`` short-circuits), so results are unchanged.
+null/empty top-level arrays before the UDF boundary, ship a companion
+BOOLEAN dummy-flag column, and have the UDF return None for flagged rows
+WITHOUT iterating the dummy (so null-unsafe user fns are never invoked
+on it); the caller gates the UDF's result back to the original
+null/empty value.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F, types as T
 
-__all__ = ["list_depth", "needs_arrow_guard", "arrow_safe_array"]
+__all__ = [
+    "list_depth",
+    "needs_arrow_guard",
+    "arrow_safe_array",
+    "resolve_dtype",
+    "ctx_safe_struct",
+    "decode_ctx_row",
+]
 
 
 def list_depth(dtype: T.DataType) -> int:
@@ -38,6 +46,51 @@ def list_depth(dtype: T.DataType) -> int:
 
 def needs_arrow_guard(dtype: T.DataType) -> bool:
     return list_depth(dtype) >= 3
+
+
+def resolve_dtype(schema: T.StructType, path: str) -> T.DataType:
+    """DataType of a (possibly dotted) column path in a struct schema."""
+    cur: T.DataType = schema
+    for seg in path.split("."):
+        cur = cur[seg].dataType  # type: ignore[index]
+    return cur
+
+
+def ctx_safe_struct(schema: T.StructType, cols: list) -> tuple:
+    """``(struct Column, jsonified names)`` for a cross-field context.
+
+    Context structs re-ship whole columns, and wrapping a ≥3-list-level
+    column in one MORE struct level crashes the Arrow converter even for
+    fully-populated data — so deeply nested context columns travel as
+    ``to_json`` strings instead, and :func:`decode_ctx_row` restores them
+    to plain dicts/lists on the Python side (the same shapes Arrow's own
+    struct decoding produces; datetimes inside such columns arrive as ISO
+    strings — documented tradeoff of the JSON detour).
+    """
+    out, jsonified = [], []
+    for c in cols:
+        col = F.col(c)
+        if needs_arrow_guard(resolve_dtype(schema, c)):
+            out.append(F.to_json(col).alias(c))
+            jsonified.append(c)
+        else:
+            out.append(col.alias(c))
+    return F.struct(*out), jsonified
+
+
+def decode_ctx_row(row: dict, jsonified: list) -> dict:
+    """Restore JSON-detoured context values to dicts/lists (see
+    :func:`ctx_safe_struct`); NULL columns stay None."""
+    if not jsonified:
+        return row
+    import json
+
+    out = dict(row)
+    for k in jsonified:
+        v = out.get(k)
+        if isinstance(v, str):
+            out[k] = json.loads(v)
+    return out
 
 
 def arrow_safe_array(arr: Column, arr_type: T.ArrayType) -> Column:

@@ -84,6 +84,18 @@ def categorical_drift(
     )
 
 
+def psi_term(
+    obs: Column, base_cnt: Column, n_cur: Column, n_base: Column,
+    epsilon: float,
+) -> Column:
+    """One category's PSI contribution with the standard epsilon floor —
+    THE smoothing/statistic definition, shared by the batch checks and
+    :func:`..streaming.psi_per_window` so the two can never drift apart."""
+    p_cur = F.greatest(obs / n_cur, F.lit(epsilon))
+    p_base = F.greatest(base_cnt / n_base, F.lit(epsilon))
+    return (p_cur - p_base) * F.log(p_cur / p_base)
+
+
 def categorical_drift_psi(
     current: DataFrame,
     baseline_counts: DataFrame,
@@ -125,9 +137,10 @@ def categorical_drift_psi(
         F.sum("obs").alias("n_cur"), F.sum("base_cnt").alias("n_base")
     )
     j = joined.crossJoin(F.broadcast(totals))
-    p_cur = F.greatest(F.col("obs") / F.col("n_cur"), F.lit(epsilon))
-    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(epsilon))
-    term = (p_cur - p_base) * F.log(p_cur / p_base)
+    term = psi_term(
+        F.col("obs"), F.col("base_cnt"), F.col("n_cur"), F.col("n_base"),
+        epsilon,
+    )
     return j.agg(
         F.sum(term).alias("psi"),
         F.sum("obs").alias("n_current"),
@@ -179,10 +192,12 @@ def numeric_drift_psi(
         F.sum("obs").alias("n_cur"), F.sum("base_cnt").alias("n_base")
     )
     j = joined.crossJoin(F.broadcast(totals))
-    p_cur = F.greatest(F.col("obs") / F.col("n_cur"), F.lit(epsilon))
-    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(epsilon))
+    term = psi_term(
+        F.col("obs"), F.col("base_cnt"), F.col("n_cur"), F.col("n_base"),
+        epsilon,
+    )
     return j.agg(
-        F.sum((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi"),
+        F.sum(term).alias("psi"),
         F.sum("obs").alias("n_current"),
         F.sum("base_cnt").alias("n_baseline"),
     )

@@ -44,13 +44,23 @@ def extraction_mismatches(
 
     extracted = extractor(F.col(html_col))
     expected = F.coalesce(F.col(text_col), F.lit(""))
+    html_null = F.col(html_col).isNull()
+    # NULL html is a distinct condition, not byte drift: nothing to
+    # extract.  With text present it's a missing payload (reported as
+    # its own type); with text also NULL there is nothing to check.
     return (
         df.withColumn("__ex", extracted)
-        .where(~F.col("__ex").eqNullSafe(expected))
+        .where(
+            F.when(html_null, F.col(text_col).isNotNull()).otherwise(
+                ~F.col("__ex").eqNullSafe(expected)
+            )
+        )
         .select(
             *[F.col(c) for c in id_cols],
             F.lit(text_col).alias("name"),
-            F.lit("extractionMismatch").alias("type"),
+            F.when(html_null, F.lit("missingHtmlPayload"))
+            .otherwise(F.lit("extractionMismatch"))
+            .alias("type"),
             F.substring(F.col("__ex"), 1, value_prefix).alias("value"),
         )
     )

@@ -389,8 +389,13 @@ class PythonAutoValueContext:
 def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame:
     """Opaque Python autoValue via ONE Arrow-batched pandas UDF (slow path;
     prefer @spark_auto_value expressions).  The UDF returns the column's
-    existing Spark type."""
+    existing Spark type.  Deeply nested context/value columns take the
+    arrowsafe JSON detour (see arrowsafe.ctx_safe_struct)."""
+    import json as _json
+
     import pandas as pd
+
+    from .arrowsafe import ctx_safe_struct, decode_ctx_row, needs_arrow_guard
 
     dtype = df.schema
     for seg in key.split("."):
@@ -398,11 +403,18 @@ def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame
     declared = getattr(fn, "context_fields", None)
     ctx_cols = list(declared) if declared else list(df.columns)
     ctx_cols = [c for c in ctx_cols if not c.startswith("__")]
+    decode_value = needs_arrow_guard(dtype)
+
+    ctx_struct, jsonified = ctx_safe_struct(df.schema, ctx_cols)
 
     def _apply(values, ctx_rows):
         out = []
         for v, row in zip(values, ctx_rows.to_dict("records")):
-            ctx = PythonAutoValueContext(key, v, row)
+            if decode_value and isinstance(v, str):
+                v = _json.loads(v)
+            ctx = PythonAutoValueContext(
+                key, v, decode_ctx_row(row, jsonified)
+            )
             res = fn(ctx)
             if ctx._unset:
                 # this.unset() → value removed (NULL in columnar form)
@@ -417,7 +429,8 @@ def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame
         return pd.Series(out, dtype=object)
 
     udf = F.pandas_udf(_apply, dtype)
-    ctx_struct = F.struct(*[F.col(c).alias(c) for c in ctx_cols])
+    if decode_value:
+        return _set_path(df, key, lambda c: udf(F.to_json(c), ctx_struct))
     return _set_path(df, key, lambda c: udf(c, ctx_struct))
 
 
@@ -518,6 +531,10 @@ def _apply_python_array_auto_value(
         cur[segs[-1]] = val
         return d
 
+    from .arrowsafe import arrow_safe_array, ctx_safe_struct, decode_ctx_row, needs_arrow_guard
+
+    ctx_struct, jsonified = ctx_safe_struct(df.schema, ctx_cols)
+
     def run_leaf(el, leaf, row):
         # NULL element with a field path: nothing to write into — leave it
         # null, matching the expression path (withField on a null struct)
@@ -548,27 +565,42 @@ def _apply_python_array_auto_value(
             out.append(set_sub(el, mids[level], run_arr(inner, row, level + 1)))
         return out
 
-    def _apply(arrs, ctx_rows):
-        rows = ctx_rows.to_dict("records")
-        return pd.Series(
-            [run_arr(a, r, 0) for a, r in zip(arrs, rows)], dtype=object
-        )
-
-    udf = F.pandas_udf(_apply, arr_type)
-    ctx_struct = F.struct(*[F.col(c).alias(c) for c in ctx_cols])
-    from .arrowsafe import arrow_safe_array, needs_arrow_guard
-
     if needs_arrow_guard(arr_type):
         # see arrowsafe: null/empty top-level arrays of deeply nested
-        # types segfault the Arrow input conversion — ship [null] and gate
+        # types segfault the Arrow input conversion — ship [null] plus a
+        # dummy flag (the fn must never see the dummy element) and gate
         # the result back to the original null/empty value
+        def _apply_g(dummies, arrs, ctx_rows):
+            rows = ctx_rows.to_dict("records")
+            return pd.Series(
+                [None if d else run_arr(a, decode_ctx_row(r, jsonified), 0)
+                 for d, a, r in zip(dummies, arrs, rows)],
+                dtype=object,
+            )
+
+        udf_g = F.pandas_udf(_apply_g, arr_type)
         return _set_path(
             df,
             head,
             lambda arr: F.when(
-                F.size(arr) > 0, udf(arrow_safe_array(arr, arr_type), ctx_struct)
+                F.size(arr) > 0,
+                udf_g(
+                    F.coalesce(F.size(arr) <= 0, F.lit(True)),
+                    arrow_safe_array(arr, arr_type),
+                    ctx_struct,
+                ),
             ).otherwise(arr),
         )
+
+    def _apply(arrs, ctx_rows):
+        rows = ctx_rows.to_dict("records")
+        return pd.Series(
+            [run_arr(a, decode_ctx_row(r, jsonified), 0)
+             for a, r in zip(arrs, rows)],
+            dtype=object,
+        )
+
+    udf = F.pandas_udf(_apply, arr_type)
     return _set_path(df, head, lambda arr: udf(arr, ctx_struct))
 
 

@@ -1229,7 +1229,7 @@ def _each_merge_udf(fns, item_key: str):
                     if (tok or "").lstrip().startswith('"'):
                         viol["value"] = val if isinstance(val, str) else tok.strip()
                     else:
-                        viol["value"] = tok
+                        viol["value"] = tok.strip() if tok else tok
                     out.append(viol)
                     break
         return out
@@ -1328,9 +1328,12 @@ def _apply_modifier_auto_values(
     def run_array(g, fn, ents, upsert):
         segs = g.split(".")
 
-        def run_fn(value, op0):
+        def run_fn(value, op0, present):
+            # is_set reflects POSITION PRESENCE (reference isSet = value
+            # !== undefined): a field explicitly set to JSON null is
+            # still set — only an absent key reports is_set False
             ctx = _ModifierAutoValueContext(
-                g, value, value is not None, ents, bool(upsert), op0
+                g, value, present, ents, bool(upsert), op0
             )
             res = fn(ctx)
             if res is unchanged:
@@ -1339,9 +1342,9 @@ def _apply_modifier_auto_values(
                 return _Remove
             return res
 
-        def apply_at(value, path, op0):
+        def apply_at(value, path, op0, present=True):
             if not path:
-                return run_fn(value, op0)
+                return run_fn(value, op0, present)
             seg = path[0]
             if seg == "$":
                 if not isinstance(value, list):
@@ -1354,6 +1357,8 @@ def _apply_modifier_auto_values(
                         new.append(el)
                     else:
                         any_change = True
+                        # unset of an element of a value being SET nulls it
+                        # in place (removal would shift sibling indices)
                         new.append(None if r is _Remove else r)
                 return new if any_change else _Skip
             if not isinstance(value, dict):
@@ -1362,7 +1367,7 @@ def _apply_modifier_auto_values(
             if len(path) > 1 and not isinstance(cur, (dict, list)):
                 # missing intermediate containers are NOT auto-created
                 return _Skip
-            r = apply_at(cur, path[1:], op0)
+            r = apply_at(cur, path[1:], op0, present=seg in value)
             if r is _Skip:
                 return _Skip
             d = dict(value)
@@ -1393,14 +1398,19 @@ def _apply_modifier_auto_values(
                 if isinstance(decoded, dict) and isinstance(
                     decoded.get("$each"), list
                 ):
+                    # unset of a pushed item means "don't push it" — DROP
+                    # the item, mirroring the plain-$push branch dropping
+                    # the whole entry (the two one-item syntaxes agree)
                     items, any_change = [], False
                     for it in decoded["$each"]:
                         r = apply_at(it, rest, op0)
                         if r is _Skip:
                             items.append(it)
+                        elif r is _Remove:
+                            any_change = True
                         else:
                             any_change = True
-                            items.append(None if r is _Remove else r)
+                            items.append(r)
                     if any_change:
                         new = dict(decoded)
                         new["$each"] = items
@@ -1477,13 +1487,10 @@ def _apply_modifier_auto_values(
 
 
 def _default_as_json(value: Any) -> str:
-    """Encode a driver-side defaultValue as the table's JSON value form
-    (extended JSON for datetimes)."""
-    import datetime as _dt
-
-    if isinstance(value, _dt.datetime):
-        return json.dumps({"$date": value.isoformat()})
-    return json.dumps(value)
+    """Encode a driver-side defaultValue as the table's JSON value form —
+    same encoder as :func:`_encode_json_value` (one extended-JSON policy
+    for both the $setOnInsert-default and positional-rebuild families)."""
+    return _encode_json_value(value)
 
 
 def _encode_json_value(value: Any) -> str:

@@ -154,14 +154,22 @@ def psi_per_window(
             F.coalesce(F.col("g.base_cnt"), F.lit(0)).alias("base_cnt"),
         )
     )
-    totals = j.groupBy("window").agg(F.sum("obs").alias("n_cur"))
-    base_total = base.agg(F.sum("base_cnt").alias("n_base"))
-    j2 = j.join(F.broadcast(totals), "window").crossJoin(
-        F.broadcast(base_total)
+    # per-window totals via window sums — one pass over the (tiny,
+    # already-reduced) count table instead of a totals join that would
+    # evaluate the grid join twice; the shared psi_term keeps the
+    # smoothing/statistic identical to the batch checks
+    from pyspark.sql import Window as W
+
+    from .checks.drift import psi_term
+
+    w = W.partitionBy("window")
+    j2 = j.withColumn("n_cur", F.sum("obs").over(w)).withColumn(
+        "n_base", F.sum("base_cnt").over(w)
     )
-    p_cur = F.greatest(F.col("obs") / F.col("n_cur"), F.lit(epsilon))
-    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(epsilon))
-    term = (p_cur - p_base) * F.log(p_cur / p_base)
+    term = psi_term(
+        F.col("obs"), F.col("base_cnt"), F.col("n_cur"), F.col("n_base"),
+        epsilon,
+    )
     return j2.groupBy("window").agg(
         F.sum(term).alias("psi"),
         F.sum("obs").alias("n_current"),

@@ -79,11 +79,29 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
     the JVM↔Python bridge; the user fn itself runs per element unless it is
     marked ``vectorized`` and operates on the whole Series).
     """
-    def make_udf(fn):
+    from .arrowsafe import (
+        arrow_safe_array,
+        ctx_safe_struct,
+        decode_ctx_row,
+        needs_arrow_guard,
+        resolve_dtype,
+    )
+
+    def make_udf(fn, decode_value=False):
         if getattr(fn, "vectorized", False):
 
             def _apply(s: pd.Series) -> pd.Series:
                 return fn(s)
+
+        elif decode_value:
+            # deep nested value arrived as a to_json string (see
+            # arrowsafe.ctx_safe_struct) — decode before the user fn
+            import json as _json
+
+            def _apply(s: pd.Series) -> pd.Series:
+                return s.map(
+                    lambda v: fn(_json.loads(v) if isinstance(v, str) else v)
+                )
 
         else:
 
@@ -92,13 +110,20 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
 
         return F.pandas_udf(_apply, T.StringType())
 
-    def make_ctx_udf(fn, key):
+    def make_ctx_udf(fn, key, jsonified=(), decode_value=False):
+        import json as _json
+
+        jsonified = list(jsonified)
+
         def _apply(values: pd.Series, ctx_rows: pd.DataFrame) -> pd.Series:
             rows = ctx_rows.to_dict("records")
-            out = [
-                fn(v, FieldContext(key, v, row))
-                for v, row in zip(values, rows)
-            ]
+            out = []
+            for v, row in zip(values, rows):
+                if decode_value and isinstance(v, str):
+                    v = _json.loads(v)
+                out.append(
+                    fn(v, FieldContext(key, v, decode_ctx_row(row, jsonified)))
+                )
             return pd.Series(out, dtype=object)
 
         return F.pandas_udf(_apply, T.StringType())
@@ -113,13 +138,20 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
             cur = cur.get(seg) if isinstance(cur, dict) else getattr(cur, seg, None)
         return cur
 
-    def make_item_udf(fn, key, subpath, wants_ctx, between=()):
+    def make_item_udf(
+        fn, key, subpath, wants_ctx, between=(), guarded=False, jsonified=()
+    ):
         """Whole-array UDF: error type per element (see _PandasRule.elementwise).
 
         ``between`` (nested keys, a.$.b.$.c…, arbitrary depth): path from
         each array level's element to the NEXT level's array; the UDF
         returns arrays nested ``len(between)+1`` deep — one error type per
         index tuple — matching the compiler's chained ``F.get`` lookups.
+
+        ``guarded``: the input went through :func:`..arrowsafe.
+        arrow_safe_array` and an extra leading BOOLEAN column marks rows
+        whose real array was null/empty — those rows return None WITHOUT
+        touching the dummy element, so user fns never see it.
         """
         between = list(between)
 
@@ -143,67 +175,98 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
         def _apply_plain(arrays: pd.Series) -> pd.Series:
             return pd.Series([run_arr(a, {}, 0) for a in arrays], dtype=object)
 
+        jsonified = list(jsonified)
+
         def _apply_ctx(arrays: pd.Series, ctx_rows: pd.DataFrame) -> pd.Series:
             rows = ctx_rows.to_dict("records")
             return pd.Series(
-                [run_arr(a, r, 0) for a, r in zip(arrays, rows)], dtype=object
+                [run_arr(a, decode_ctx_row(r, jsonified), 0)
+                 for a, r in zip(arrays, rows)],
+                dtype=object,
+            )
+
+        def _apply_plain_g(dummies: pd.Series, arrays: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if d else run_arr(a, {}, 0)
+                 for d, a in zip(dummies, arrays)],
+                dtype=object,
+            )
+
+        def _apply_ctx_g(
+            dummies: pd.Series, arrays: pd.Series, ctx_rows: pd.DataFrame
+        ) -> pd.Series:
+            rows = ctx_rows.to_dict("records")
+            return pd.Series(
+                [None if d else run_arr(a, decode_ctx_row(r, jsonified), 0)
+                 for d, a, r in zip(dummies, arrays, rows)],
+                dtype=object,
             )
 
         out_t = T.ArrayType(T.StringType())
         for _ in between:
             out_t = T.ArrayType(out_t)
+        if guarded:
+            return F.pandas_udf(_apply_ctx_g if wants_ctx else _apply_plain_g, out_t)
         if wants_ctx:
             return F.pandas_udf(_apply_ctx, out_t)
         return F.pandas_udf(_apply_plain, out_t)
 
-    def _resolve_dtype(schema: T.StructType, path: str) -> T.DataType:
-        cur: T.DataType = schema
-        for seg in path.split("."):
-            cur = cur[seg].dataType  # type: ignore[index]
-        return cur
-
-    from .arrowsafe import arrow_safe_array, needs_arrow_guard
-
     for rule in rules:
         if rule.elementwise:
             arr_col = F.col(rule.input_cols[0])
-            arr_t = _resolve_dtype(df.schema, rule.input_cols[0])
-            if needs_arrow_guard(arr_t):
+            arr_t = resolve_dtype(df.schema, rule.input_cols[0])
+            guarded = needs_arrow_guard(arr_t)
+            inputs = []
+            if guarded:
                 # see arrowsafe: a null/empty top-level array of a >=3-level
                 # nested type segfaults the Arrow input conversion; ship
-                # [null] instead.  The result column is only ever indexed
-                # from lambdas over the REAL array, so the dummy's entries
-                # are never read.
+                # [null] plus a dummy flag — the UDF returns None for
+                # flagged rows without ever handing the dummy element to
+                # the user fn, and the result column is only indexed from
+                # lambdas over the REAL array anyway.
+                inputs.append(F.coalesce(F.size(arr_col) <= 0, F.lit(True)))
                 arr_col = arrow_safe_array(arr_col, arr_t)
+            inputs.append(arr_col)
             wants_ctx = bool(rule.context_cols)
+            jsonified = []
+            if wants_ctx:
+                ctx_struct, jsonified = ctx_safe_struct(
+                    df.schema, rule.context_cols
+                )
+                inputs.append(ctx_struct)
             udf = make_item_udf(
                 rule.fn, rule.key, rule.item_subpath, wants_ctx,
-                between=rule.between_subpaths,
+                between=rule.between_subpaths, guarded=guarded,
+                jsonified=jsonified,
             )
-            if wants_ctx:
-                ctx_struct = F.struct(
-                    *[F.col(c).alias(c) for c in rule.context_cols]
-                )
-                df = df.withColumn(rule.column_name, udf(arr_col, ctx_struct))
-            else:
-                df = df.withColumn(rule.column_name, udf(arr_col))
+            df = df.withColumn(rule.column_name, udf(*inputs))
             continue
-        value_col = (
-            F.col(rule.input_cols[0])
-            if rule.input_cols
-            else F.lit(None).cast("string")  # key absent from the table
-        )
+        if rule.input_cols:
+            value_col = F.col(rule.input_cols[0])
+            decode_value = needs_arrow_guard(
+                resolve_dtype(df.schema, rule.input_cols[0])
+            )
+            if decode_value:
+                # deep nested VALUE columns take the JSON detour too
+                value_col = F.to_json(value_col)
+        else:
+            value_col = F.lit(None).cast("string")  # key absent
+            decode_value = False
         if rule.context_cols:
-            ctx_struct = F.struct(
-                *[F.col(c).alias(c) for c in rule.context_cols]
+            ctx_struct, jsonified = ctx_safe_struct(
+                df.schema, rule.context_cols
             )
             df = df.withColumn(
                 rule.column_name,
-                make_ctx_udf(rule.fn, rule.key)(value_col, ctx_struct),
+                make_ctx_udf(
+                    rule.fn, rule.key, jsonified=jsonified,
+                    decode_value=decode_value,
+                )(value_col, ctx_struct),
             )
         else:
             df = df.withColumn(
-                rule.column_name, make_udf(rule.fn)(value_col)
+                rule.column_name,
+                make_udf(rule.fn, decode_value=decode_value)(value_col),
             )
     return df
 
@@ -248,43 +311,44 @@ def _apply_doc_validators(
     validators: list[Callable],
     violations_col: str,
 ) -> DataFrame:
+    """One Arrow-batched pandas UDF over a struct of the data columns —
+    only the violation arrays come back through Python (the earlier
+    mapInPandas round-tripped EVERY column both ways); deeply nested
+    columns take the arrowsafe JSON detour like every other context."""
+    from .arrowsafe import ctx_safe_struct, decode_ctx_row
     from .errors import VIOLATION_FIELDS
 
-    def run_all(pdf_iter):
-        for pdf in pdf_iter:
-            rows = []
-            # to_dict('records') is ~5-10x faster than iterrows for the
-            # per-row Python that arbitrary doc fns force on us
-            for rec in pdf[data_cols].to_dict("records"):
-                errs = []
-                for fn in validators:
-                    errs.extend(fn(rec) or [])
-                rows.append(
-                    [
-                        {
-                            fname: (
-                                None
-                                if e.get(fname) is None
-                                else str(e.get(fname))
-                            )
-                            for fname, _ in VIOLATION_FIELDS
-                        }
-                        for e in errs
-                    ]
-                )
-            pdf = pdf.copy()
-            pdf["__doc_violations"] = rows
-            yield pdf
+    ctx_struct, jsonified = ctx_safe_struct(df.schema, data_cols)
 
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("__doc_violations", T.ArrayType(VIOLATION_SCHEMA))]
-    )
-    with_doc = df.mapInPandas(run_all, schema=out_schema)
-    return with_doc.withColumn(
+    def _apply(ctx_rows: pd.DataFrame) -> pd.Series:
+        rows = []
+        # to_dict('records') is ~5-10x faster than iterrows for the
+        # per-row Python that arbitrary doc fns force on us
+        for rec in ctx_rows.to_dict("records"):
+            rec = decode_ctx_row(rec, jsonified)
+            errs = []
+            for fn in validators:
+                errs.extend(fn(rec) or [])
+            rows.append(
+                [
+                    {
+                        fname: (
+                            None
+                            if e.get(fname) is None
+                            else str(e.get(fname))
+                        )
+                        for fname, _ in VIOLATION_FIELDS
+                    }
+                    for e in errs
+                ]
+            )
+        return pd.Series(rows, dtype=object)
+
+    udf = F.pandas_udf(_apply, T.ArrayType(VIOLATION_SCHEMA))
+    return df.withColumn(
         violations_col,
-        F.concat(F.col(violations_col), F.col("__doc_violations")),
-    ).drop("__doc_violations")
+        F.concat(F.col(violations_col), udf(ctx_struct)),
+    )
 
 
 def violations_table(

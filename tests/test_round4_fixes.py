@@ -243,6 +243,178 @@ class TestReadMetricsMergeSchema:
         assert got == {"r1": "partition", "r2": "batch"}
 
 
+class TestReviewFixes:
+    """Round-4 self-review findings."""
+
+    def test_arrowsafe_dummy_never_reaches_validator_fn(self, spark):
+        # a null-UNSAFE item validator must not be invoked on the [null]
+        # dummy substituted for null/empty deep arrays
+        from tests.helpers import run_validation
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def null_unsafe(v):
+            return "bad" if v.startswith("x") else None  # raises on None
+
+        ss = SimpleSchema(
+            {
+                "orgs": {"type": SimpleSchema.Array, "optional": True},
+                "orgs.$": {"type": dict},
+                "orgs.$.teams": {"type": SimpleSchema.Array},
+                "orgs.$.teams.$": {"type": dict},
+                "orgs.$.teams.$.tags": {"type": SimpleSchema.Array},
+                "orgs.$.teams.$.tags.$": {"type": str, "custom": null_unsafe},
+            }
+        )
+        ddl = "orgs array<struct<teams array<struct<tags array<string>>>>>"
+        rows = [
+            {"orgs": None},
+            {"orgs": []},
+            {"orgs": [{"teams": [{"tags": ["ok", "xbad"]}]}]},
+        ]
+        out = run_validation(spark, ss, ddl, rows)
+        assert out[0] == [] and out[1] == []
+        assert [(v["name"], v["type"]) for v in out[2]] == [
+            ("orgs.0.teams.0.tags.1", "bad")
+        ]
+
+    def test_arrowsafe_dummy_never_reaches_autovalue_fn(self, spark):
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def null_unsafe(ctx):
+            return ctx.value.upper()  # raises on None
+
+        ss = SimpleSchema(
+            {
+                "cube": {"type": SimpleSchema.Array, "optional": True},
+                "cube.$": {"type": SimpleSchema.Array},
+                "cube.$.$": {"type": SimpleSchema.Array},
+                "cube.$.$.$": {"type": str, "autoValue": null_unsafe},
+            }
+        )
+        df = spark.createDataFrame(
+            [(None,), ([],), ([[["a"]]],)],
+            "cube array<array<array<string>>>",
+        )
+        got = sorted(
+            (r.cube is None, str(r.cube)) for r in clean(df, ss).collect()
+        )
+        want = sorted(
+            [(True, str(None)), (False, str([])), (False, str([[["A"]]]))]
+        )
+        assert got == want
+
+    def test_positional_is_set_distinguishes_explicit_null(self, spark):
+        import json
+        from simpl_schema_spark.modifiers import clean_modifier_table
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def fill(ctx):
+            if not ctx.is_set:
+                return "filled"
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "arr": {"type": SimpleSchema.Array, "optional": True},
+                "arr.$": {"type": dict},
+                "arr.$.note": {
+                    "type": str, "optional": True, "autoValue": fill
+                },
+            }
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "$set", "arr", '[{"note": null}]', False),
+                (2, "$set", "arr", "[{}]", False),
+            ],
+            "doc_id bigint, op string, key_path string, value string, "
+            "upsert boolean",
+        )
+        got = {
+            r.doc_id: r.value
+            for r in clean_modifier_table(df, ss).collect()
+            if r.key_path == "arr"
+        }
+        # explicit null IS set (reference isSet = value !== undefined)
+        assert json.loads(got[1]) == [{"note": None}]
+        # absent key is not set → filled
+        assert json.loads(got[2]) == [{"note": "filled"}]
+
+    def test_push_unset_consistent_between_syntaxes(self, spark):
+        import json
+        from simpl_schema_spark.modifiers import clean_modifier_table
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def drop_bad(ctx):
+            if ctx.value == "drop":
+                ctx.unset()
+                return ctx.UNCHANGED
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "autoValue": drop_bad},
+            }
+        )
+        ddl = (
+            "doc_id bigint, op string, key_path string, value string, "
+            "upsert boolean"
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "$push", "tags", '{"$each": ["keep", "drop"]}', False),
+                (2, "$push", "tags", '"drop"', False),
+            ],
+            ddl,
+        )
+        got = {
+            (r.doc_id, r.op, r.key_path): r.value
+            for r in clean_modifier_table(df, ss).collect()
+        }
+        # $each: the dropped item vanishes, keeps the rest
+        assert json.loads(got[(1, "$push", "tags")]) == {"$each": ["keep"]}
+        # plain push of a dropped item: the entry vanishes entirely
+        assert (2, "$push", "tags") not in got
+
+    def test_extraction_null_html_conditions(self, spark):
+        from simpl_schema_spark.checks import extraction_mismatches
+
+        df = spark.createDataFrame(
+            [
+                ("u1", None, None),        # nothing to check → no row
+                ("u2", None, "text!"),     # payload missing → its own type
+                ("u3", b"<p>x</p>", "x"),  # matches → no row
+            ],
+            "url string, html binary, text string",
+        )
+        rows = {r.url: r.type for r in extraction_mismatches(df).collect()}
+        assert rows == {"u2": "missingHtmlPayload"}
+
+    def test_streaming_psi_still_matches_batch_after_refactor(self, spark):
+        from simpl_schema_spark.checks import (
+            categorical_counts,
+            categorical_drift_psi,
+        )
+        from simpl_schema_spark.streaming import psi_per_window
+
+        cur = spark.createDataFrame(
+            [("en",)] * 60 + [("de",)] * 40, "lang string"
+        )
+        base = spark.createDataFrame(
+            [("en",)] * 80 + [("de",)] * 20, "lang string"
+        )
+        bc = categorical_counts(base, "lang")
+        expected = categorical_drift_psi(cur, bc, "lang").collect()[0].psi
+        win = spark.createDataFrame(
+            [("w", "en", 60), ("w", "de", 40)],
+            "window string, category string, cnt bigint",
+        )
+        [r] = psi_per_window(win, bc).collect()
+        assert abs(r.psi - expected) < 1e-12
+
+
 class TestRepetitionMetrics:
     def _one(self, spark, text):
         from simpl_schema_spark.text import repetition_metrics
