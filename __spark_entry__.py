@@ -670,6 +670,83 @@ def q_vector_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_violations(corrupted, "embedding", dim)
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (text/pii.py): deterministic emails /
+    IPv4s / phone numbers are planted by doc_id arithmetic (the base text
+    contains no digits or '@', so no accidental matches), then counted
+    per class and redacted with typed placeholders.  Patterns are RE2-and-
+    Java-compatible, so the DuckDB oracle replays them bit-for-bit."""
+    from simpl_schema_spark.text import pii_counts, redact_pii
+
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 200).cast("string"),
+                F.lit(".0."), (did % 250).cast("string"), F.lit(" seen"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call +1 555 010 "),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", planted.alias("text")
+    )
+    return pii_counts(d, "text").select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence layout (packing.py): whitespace
+    token counts in doc_id order, 512-token chunks, via the DISTRIBUTED
+    exclusive prefix sum (range shuffle + per-partition cumsum + broadcast
+    offsets — no single-task global window)."""
+    from simpl_schema_spark.packing import sequence_chunks
+    from simpl_schema_spark.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return sequence_chunks(d, "doc_id", "n_tokens", capacity=512)
+
+
+def q_url_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best URL dedup (dedup/keepbest.py): recrawl groups are
+    synthesized by collapsing doc_id mod 97 onto one canonical url; the
+    survivor is the longest document (ties → smallest doc_id), computed in
+    ONE map-side-combining hash aggregation via min(struct(-score, id))."""
+    from simpl_schema_spark.dedup import keep_best
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://example.com/page/"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("url"),
+        "doc_id",
+        "n_chars",
+    )
+    return keep_best(d, "url", "n_chars", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -711,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "vector_violations": q_vector_violations,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_redaction": q_pii_redaction,
+        "sequence_chunks": q_sequence_chunks,
+        "url_keep_best": q_url_keep_best,
     }
 
 
@@ -724,6 +804,49 @@ _DUP_DOCS_SQL = (
     "select doc_id + 10000 as doc_id, text, lang, source, n_chars "
     "from documents where doc_id < 20"
 )
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB replay of q_pii_redaction, with the patterns taken from
+    text/pii.PII_PATTERNS (single source of truth — the oracle cannot
+    drift from the implementation).  The patterns avoid every Java/RE2
+    dialect divergence (no lookarounds/backrefs), so regexp_extract_all +
+    chained regexp_replace('g') reproduce Spark bit-for-bit."""
+    from simpl_schema_spark.text import PII_PATTERNS
+
+    redacted = "t"
+    for pat, repl in PII_PATTERNS.values():
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ",\n                   ".join(
+        f"length(regexp_extract_all(t, '{pat}'))::bigint as n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    return f"""
+            with p as (
+                select doc_id,
+                       text
+                       || case when doc_id % 2 = 0
+                               then ' contact user' || cast(doc_id as varchar)
+                                    || '@mail.example.com now'
+                               else '' end
+                       || case when doc_id % 3 = 0
+                               then ' from 10.' || cast(doc_id % 200 as varchar)
+                                    || '.0.' || cast(doc_id % 250 as varchar)
+                                    || ' seen'
+                               else '' end
+                       || case when doc_id % 5 = 0
+                               then ' call +1 555 010 ' ||
+                                    lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                               else '' end
+                         as t
+                  from documents
+                 where text is not null
+            )
+            select doc_id,
+                   {counts},
+                   {redacted} as redacted
+              from p
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1188,5 +1311,48 @@ def oracle_sql() -> dict[str, str]:
              where d.lang in ({langs}) and d.n_chars <= {_NCHARS_MAX}
                and ('0x' || substring(md5(cast(d.doc_id as varchar)), 1, 8))::uint64
                    < 2147483648
+        """,
+        "pii_redaction": _pii_oracle_sql(),
+        "sequence_chunks": r"""
+            with t as (
+                select doc_id,
+                       case when text is null then 0
+                            when trim(text) = '' then 0
+                            else length(regexp_split_to_array(trim(text), '\s+'))
+                       end::bigint as n_tokens
+                  from documents
+            ), p as (
+                select doc_id, n_tokens,
+                       coalesce(sum(n_tokens) over (
+                           order by doc_id
+                           rows between unbounded preceding and 1 preceding
+                       ), 0)::bigint as tok_start
+                  from t
+            )
+            select doc_id, n_tokens, tok_start,
+                   (tok_start // 512)::bigint as chunk_first,
+                   ((tok_start + greatest(n_tokens, 1) - 1) // 512)::bigint
+                     as chunk_last,
+                   ((tok_start + greatest(n_tokens, 1) - 1) // 512
+                    - tok_start // 512 + 1)::bigint as n_chunks
+              from p
+        """,
+        "url_keep_best": """
+            with u as (
+                select 'https://example.com/page/' ||
+                       cast(doc_id % 97 as varchar) as url,
+                       doc_id, n_chars
+                  from documents
+            ), r as (
+                select url, doc_id, n_chars,
+                       count(*) over (partition by url) as n_dups,
+                       row_number() over (
+                           partition by url order by n_chars desc, doc_id
+                       ) as rn
+                  from u
+            )
+            select url, doc_id as keep_id, n_chars as keep_score,
+                   n_dups::bigint as n_dups
+              from r where rn = 1
         """,
     }

@@ -68,6 +68,9 @@ HEADLINE_EXTRA = [
     "html_extract",
     "ngram_contamination",
     "repetition_metrics",
+    "pii_redaction",
+    "sequence_chunks",
+    "url_keep_best",
 ]
 
 

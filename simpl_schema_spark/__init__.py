@@ -31,6 +31,11 @@ def __getattr__(name):
         "spark_rule": ("simpl_schema_spark.compiler", "spark_rule"),
         "hash_sample": ("simpl_schema_spark.sampling", "hash_sample"),
         "stratified_sample": ("simpl_schema_spark.sampling", "stratified_sample"),
+        "sequence_chunks": ("simpl_schema_spark.packing", "sequence_chunks"),
+        "exclusive_prefix_sum": ("simpl_schema_spark.packing", "exclusive_prefix_sum"),
+        "keep_best": ("simpl_schema_spark.dedup", "keep_best"),
+        "pii_counts": ("simpl_schema_spark.text", "pii_counts"),
+        "redact_pii": ("simpl_schema_spark.text", "redact_pii"),
     }
     if name in lazy:
         import importlib

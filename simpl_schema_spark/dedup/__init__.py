@@ -11,3 +11,4 @@ from .components import (  # noqa: F401
     connected_components,
     dedup_groups_from_pairs,
 )
+from .keepbest import keep_best  # noqa: F401

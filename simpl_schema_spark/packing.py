@@ -1,0 +1,132 @@
+"""Sequence assembly for LLM pretraining — concatenate-and-chunk layout.
+
+Pretraining batches are fixed-length token sequences; the standard layout
+concatenates documents in a deterministic order and slices the resulting
+token stream every ``capacity`` tokens (a document may straddle a chunk
+boundary).  Computing the layout is a GLOBAL exclusive prefix sum of the
+per-document token counts in document order — the textbook case where a
+naive ``sum().over(Window.orderBy(id))`` collapses to a single task and
+dies at scale.
+
+:func:`exclusive_prefix_sum` implements the distributed form (shared with
+``checks/drift.numeric_drift_ks_exact``'s ECDF): range-partition by the
+order key, cumsum locally within each sorted range, then add per-partition
+offsets — a tiny ordered window over #partitions rows, broadcast back.
+The prefix sum parallelizes like a sort, so the layout holds at corpus
+scales that fit the cluster, not one executor.
+
+:func:`sequence_chunks` maps each document to its place in the stream:
+global token offset, first/last chunk index, and how many chunks it
+spans.  Deterministic → oracle-checkable against a plain SQL window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .cache import materialize_and_release
+
+__all__ = ["exclusive_prefix_sum", "sequence_chunks"]
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """``df`` plus ``out_col`` = sum of ``value_col`` over all rows with a
+    strictly smaller ``order_col`` (exclusive running total in that order).
+
+    Distributed: range shuffle on ``order_col`` → per-partition local
+    cumsum (window PARTITIONED by partition id — bounded) → exclusive
+    per-partition offsets (one tiny ordered window over #partitions rows)
+    broadcast back.  No global-order single-task window anywhere.
+
+    ``order_col`` values must be unique and non-null (they define the
+    stream order); NULL ``value_col`` counts as 0.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.where(F.col(order_col).isNotNull())
+        .repartitionByRange(n_parts, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", F.coalesce(F.col(value_col).cast("long"), F.lit(0)))
+    )
+    # consumed twice (local cumsum + partition totals): keep the range
+    # shuffle's result, release after the result materializes
+    ranged = ranged.persist()
+    ranged.count()
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__local", F.coalesce(F.sum("__v").over(w_local), F.lit(0))
+    )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("__v").alias("__t"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__t").over(w_prev), F.lit(0)).alias("__off"),
+        )
+    )
+    out = (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__pid", "__v", "__local", "__off")
+    )
+    return materialize_and_release(out, ranged)
+
+
+def sequence_chunks(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Concatenate-and-chunk layout: where each document lands in the
+    fixed-``capacity`` token stream ordered by ``id_col``.
+
+    Returns one row per input row:
+    ``id_col · n_tokens · tok_start`` (global 0-based offset of the
+    document's first token) ``· chunk_first · chunk_last`` (0-based chunk
+    indices the document touches; an empty document sits at its boundary
+    with ``chunk_last = chunk_first``) ``· n_chunks``.
+
+    One range shuffle + one broadcast — the chunk arithmetic is pure
+    projection on top of :func:`exclusive_prefix_sum`.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    pre = exclusive_prefix_sum(
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0)).alias(
+                "n_tokens"
+            ),
+        ),
+        order_col=id_col,
+        value_col="n_tokens",
+        out_col="tok_start",
+    )
+    # `div` = exact 64-bit integer division — a double-division floor()
+    # would silently round past 2^53 total tokens, which a 100 TB corpus
+    # (~2.5e13 tokens) approaches within two orders of magnitude
+    first = F.expr(f"tok_start div {int(capacity)}")
+    last = F.expr(
+        f"(tok_start + greatest(n_tokens, 1L) - 1L) div {int(capacity)}"
+    )
+    return pre.select(
+        id_col,
+        "n_tokens",
+        "tok_start",
+        first.alias("chunk_first"),
+        last.alias("chunk_last"),
+        (last - first + 1).alias("n_chunks"),
+    )

@@ -9,6 +9,7 @@ from .analysis import (  # noqa: F401
 )
 from .contamination import ngram_overlap  # noqa: F401
 from .html import html_to_text  # noqa: F401
+from .pii import PII_PATTERNS, pii_counts, redact_pii  # noqa: F401
 from .repetition import (  # noqa: F401
     duplicate_line_fraction,
     repetition_metrics,

@@ -1,0 +1,149 @@
+"""PII redaction, sequence packing, keep-best dedup (round-4 additions)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simpl_schema_spark.dedup import keep_best
+from simpl_schema_spark.packing import exclusive_prefix_sum, sequence_chunks
+from simpl_schema_spark.text import pii_counts, redact_pii
+
+
+def _pii_one(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    out = pii_counts(df, "text").withColumn(
+        "redacted", redact_pii(F.col("text"))
+    )
+    return out.collect()[0]
+
+
+class TestPii:
+    def test_email(self, spark):
+        r = _pii_one(spark, "write to First.Last+tag@sub.example.co.uk today")
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 0, 0)
+        assert r.redacted == "write to <EMAIL> today"
+
+    def test_email_trailing_period_not_swallowed(self, spark):
+        r = _pii_one(spark, "mail a@b.com. Next sentence")
+        assert r.n_email == 1
+        assert r.redacted == "mail <EMAIL>. Next sentence"
+
+    def test_ipv4_word_boundaries(self, spark):
+        r = _pii_one(spark, "host 192.168.0.1 and v1.2.3.4 end")
+        # v1.2.3.4 does NOT match: \b needs a word/non-word transition and
+        # 'v'->'1' is word->word, so no match can start after the 'v'
+        assert r.n_ipv4 == 1
+        assert r.redacted == "host <IP> and v1.2.3.4 end"
+
+    def test_phone_variants(self, spark):
+        r = _pii_one(spark, "call +1 555 010 1234 or +44-201-555 0000 now")
+        assert r.n_phone == 2
+        assert r.redacted == "call <PHONE> or <PHONE> now"
+
+    def test_counts_independent_and_null_safe(self, spark):
+        df = spark.createDataFrame(
+            [("a@b.com from 10.0.0.1",), (None,)], "text string"
+        )
+        rows = pii_counts(df, "text").select(
+            "text", "n_email", "n_ipv4", redact_pii(F.col("text")).alias("r")
+        ).collect()
+        by_null = {r.text is None: r for r in rows}
+        assert (by_null[False].n_email, by_null[False].n_ipv4) == (1, 1)
+        assert by_null[False].r == "<EMAIL> from <IP>"
+        assert by_null[True].n_email is None and by_null[True].r is None
+
+
+class TestPrefixSum:
+    def test_matches_serial_cumsum(self, spark):
+        rows = [(i, (i * 7) % 13) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+        got = {
+            r.id: r.prefix_sum
+            for r in exclusive_prefix_sum(df, "id", "v").collect()
+        }
+        acc = 0
+        for i, v in rows:
+            assert got[i] == acc
+            acc += v
+
+    def test_no_global_single_task_window(self, spark):
+        df = spark.createDataFrame([(i, 1) for i in range(10)], "id long, v long")
+        plan = exclusive_prefix_sum(df, "id", "v")._jdf.queryExecution().executedPlan().toString()
+        # every Window node must be partitioned (by __pid) — a global
+        # ordered window would show an empty partition spec
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "__pid" in line, line
+
+    def test_null_values_count_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, 5), (3, None), (4, 2)], "id long, v long"
+        )
+        got = {
+            r.id: r.prefix_sum
+            for r in exclusive_prefix_sum(df, "id", "v").collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 5, 4: 5}
+
+
+class TestSequenceChunks:
+    def test_layout(self, spark):
+        # capacity 10; docs: 4, 8, 10, 0, 3  (in id order)
+        df = spark.createDataFrame(
+            [(1, 4), (2, 8), (3, 10), (4, 0), (5, 3)], "id long, n long"
+        )
+        got = {
+            r.id: (r.tok_start, r.chunk_first, r.chunk_last, r.n_chunks)
+            for r in sequence_chunks(df, "id", "n", capacity=10).collect()
+        }
+        assert got[1] == (0, 0, 0, 1)     # tokens 0-3
+        assert got[2] == (4, 0, 1, 2)     # tokens 4-11 straddles
+        assert got[3] == (12, 1, 2, 2)    # tokens 12-21 straddles
+        assert got[4] == (22, 2, 2, 1)    # empty doc sits at its boundary
+        assert got[5] == (22, 2, 2, 1)    # tokens 22-24
+
+    def test_capacity_validated(self, spark):
+        df = spark.createDataFrame([(1, 1)], "id long, n long")
+        with pytest.raises(ValueError, match="capacity"):
+            sequence_chunks(df, "id", "n", capacity=0)
+
+
+class TestKeepBest:
+    def test_max_score_min_id_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("u1", 1, 10),
+                ("u1", 2, 30),
+                ("u1", 3, 30),   # tie on score -> smaller id (2) wins
+                ("u2", 4, 5),
+                (None, 5, 99),   # null key dropped
+            ],
+            "url string, doc_id long, score long",
+        )
+        got = {
+            r.url: (r.keep_id, r.keep_score, r.n_dups)
+            for r in keep_best(df, "url", "score", "doc_id").collect()
+        }
+        assert got == {"u1": (2, 30, 3), "u2": (4, 5, 1)}
+
+    def test_null_scores_lose_to_any_scored_row(self, spark):
+        df = spark.createDataFrame(
+            [("u", 1, None), ("u", 2, 1), ("v", 3, None)],
+            "url string, doc_id long, score long",
+        )
+        got = {
+            r.url: (r.keep_id, r.keep_score, r.n_dups)
+            for r in keep_best(df, "url", "score", "doc_id").collect()
+        }
+        assert got["u"] == (2, 1, 2)
+        # all-null group still keeps a deterministic survivor
+        assert got["v"] == (3, None, 1)
+
+    def test_single_shuffle_no_window_no_join(self, spark):
+        df = spark.createDataFrame(
+            [("u", 1, 2)], "url string, doc_id long, score long"
+        )
+        plan = keep_best(df, "url", "score", "doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Join" not in plan
+        # partial_min proves map-side combine before the exchange
+        assert "partial_min" in plan
