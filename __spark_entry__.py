@@ -533,7 +533,7 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast eval shingle set; the corpus text never shuffles."""
     from simpl_schema_spark.text import ngram_overlap
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs_par(spark, sf_dir).select("doc_id", "text")
     return ngram_overlap(d, d.where(F.col("doc_id") < 20), k=5)
 
 
@@ -544,7 +544,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics with DuckDB list comprehensions."""
     from simpl_schema_spark.text import repetition_metrics
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+    d = _docs_par(spark, sf_dir).where(F.col("text").isNotNull()).select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit("\n"),
@@ -604,7 +604,7 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded TakeOrderedAndProject top-k, deterministic tie-break."""
     from simpl_schema_spark.text import top_tokens
 
-    return top_tokens(_docs(spark, sf_dir), "text", k=20)
+    return top_tokens(_docs_par(spark, sf_dir), "text", k=20)
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +635,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score from the compared columns (tf/df are exact integers)."""
     from simpl_schema_spark.text import tf_idf_top_terms
 
-    return tf_idf_top_terms(_docs(spark, sf_dir), k=3).select(
+    return tf_idf_top_terms(_docs_par(spark, sf_dir), k=3).select(
         "doc_id", "token", "tf", "df", "rank"
     )
 
@@ -703,7 +703,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+    d = _docs_par(spark, sf_dir).where(F.col("text").isNotNull()).select(
         "doc_id", planted.alias("text")
     )
     return pii_counts(d, "text").select(
@@ -723,7 +723,7 @@ def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simpl_schema_spark.packing import sequence_chunks
     from simpl_schema_spark.text import token_count
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs_par(spark, sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return sequence_chunks(d, "doc_id", "n_tokens", capacity=512)
