@@ -5,3 +5,4 @@ from .media import (  # noqa: F401
     sample_video_frames,
     with_media_meta,
 )
+from .y4m import Y4mError, Y4mInfo, parse_header as parse_y4m_header  # noqa: F401

@@ -5,10 +5,12 @@ decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
 Image decode has a REAL path (pillow when importable, else the vendored
 pure-Python PNG decoder in :mod:`.minipng` — exercised in CI); audio has a
 REAL path for PCM WAV (stdlib ``wave`` + numpy RMS profile — exercised in
-CI), with compressed codecs and video frame decode STUBBED (deterministic
-fake features, clearly marked) since their codec libraries are absent
-here.  The Spark-side plumbing (schemas, batch iteration, partition
-sizing, UDF signatures) is real and tested in all modes.
+CI); video frame sampling has a REAL path for uncompressed YUV4MPEG2
+(from-scratch parser in :mod:`.y4m` — exercised in CI).  Compressed
+codecs (jpeg-without-pillow, mp3/flac, mp4/webm) remain STUBBED
+(deterministic fake features, clearly marked) since their codec libraries
+are absent here.  The Spark-side plumbing (schemas, batch iteration,
+partition sizing, UDF signatures) is real and tested in all modes.
 
 At 100 TB: media rows are far wider than text rows — repartition by size
 before a decode stage (``target_rows_per_batch``) so one Arrow batch stays
@@ -49,6 +51,7 @@ _MAGIC = {
     "00000018": "mp4",
     "00000020": "mp4",
     "1a45dfa3": "webm",
+    "59555634": "y4m",  # "YUV4"MPEG2 — uncompressed video
 }
 
 
@@ -63,7 +66,7 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     media_type = (
         F.when(magic.isin("png", "jpeg", "gif"), F.lit("image"))
         .when(magic.isin("riff"), F.lit("audio"))
-        .when(magic.isin("mp4", "webm"), F.lit("video"))
+        .when(magic.isin("mp4", "webm", "y4m"), F.lit("video"))
         .otherwise(F.lit("unknown"))
     )
     meta = F.struct(
@@ -290,7 +293,47 @@ def decode_audio_features(
     )
 
 
-_FRAME_SCHEMA = "id bigint, frame_idx int, frame_hash bigint"
+_FRAME_SCHEMA = (
+    "id bigint, frame_idx int, frame_hash bigint, mean_luma double"
+)
+
+_FRAME_COLS = ["id", "frame_idx", "frame_hash", "mean_luma"]
+
+
+def _y4m_frame_rows(rid, payload: bytes, n_frames: int) -> "list[dict]":
+    """Real frame sampling for YUV4MPEG2 payloads (see :mod:`.y4m`):
+    ≤ ``n_frames`` evenly spaced frames, each with the md5-derived hash
+    and mean of its ACTUAL luma plane."""
+    import hashlib
+
+    import numpy as np
+
+    from .y4m import Y4mError, frame_offsets, parse_header, y_plane
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "real frame sampling of compressed containers (mp4/webm) "
+            "requires ffmpeg/pyav — not installed; uncompressed "
+            "YUV4MPEG2 decodes natively (multimodal/y4m.py)"
+        )
+    try:
+        info = parse_header(payload)
+        offs = frame_offsets(payload, info)
+    except Y4mError as e:
+        raise NotImplementedError(f"malformed y4m payload ({e})") from e
+    total = len(offs)
+    if total == 0:
+        return []
+    idxs = sorted({min(total - 1, j * total // n_frames) for j in range(n_frames)})
+    rows = []
+    for j in idxs:
+        y = y_plane(payload, info, offs[j])
+        luma = float(np.frombuffer(y, dtype=np.uint8).mean()) if y else 0.0
+        h = int.from_bytes(hashlib.md5(y).digest()[:8], "big") >> 2
+        rows.append(
+            {"id": rid, "frame_idx": j, "frame_hash": h, "mean_luma": luma}
+        )
+    return rows
 
 
 def sample_video_frames(
@@ -301,18 +344,30 @@ def sample_video_frames(
     n_frames: int = 4,
     use_stub: bool = True,
 ) -> DataFrame:
-    """Frame sampling stub: one output row per sampled frame per video."""
+    """Sample frames from video payloads: one output row per sampled frame.
+
+    ``use_stub=False`` is a REAL path for uncompressed YUV4MPEG2 payloads
+    (from-scratch parser, :mod:`.y4m` — no codec libraries): ≤ ``n_frames``
+    evenly spaced frames with the hash and mean of each frame's actual
+    luma plane (dedup/filter primitives for video corpora).  Compressed
+    containers (mp4/webm) raise NotImplementedError at the decode site —
+    the ffmpeg/pyav plug-point.  ``use_stub=True`` emits exactly
+    ``n_frames`` DETERMINISTIC FAKE rows per video with the same schema
+    and batch shape.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not use_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg/pyav; not available "
-                    "in this environment — use use_stub=True"
-                )
             rows = []
             for r in pdf.to_dict("records"):
-                size = len(r[payload_col]) if r[payload_col] is not None else 0
+                if r[payload_col] is None:
+                    continue
+                if not use_stub:
+                    rows.extend(
+                        _y4m_frame_rows(r[id_col], bytes(r[payload_col]), n_frames)
+                    )
+                    continue
+                size = len(r[payload_col])
                 for j in range(n_frames):
                     rows.append(
                         {
@@ -320,8 +375,9 @@ def sample_video_frames(
                             "frame_idx": j,
                             "frame_hash": (size * 1315423911 + j * 2654435761)
                             % (1 << 62),
+                            "mean_luma": float((size * 31 + j * 17) % 256),
                         }
                     )
-            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_hash"])
+            yield pd.DataFrame(rows, columns=_FRAME_COLS)
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=_FRAME_SCHEMA)

@@ -108,6 +108,95 @@ class TestSequenceChunks:
             sequence_chunks(df, "id", "n", capacity=0)
 
 
+def _make_y4m(w=4, h=2, n_frames=3, colorspace=b"C420jpeg", luma=None):
+    """Tiny synthetic YUV4MPEG2 stream; frame j's Y plane is filled with
+    ``luma[j]`` (default 10*j)."""
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, colorspace)
+    y_size = w * h
+    c_size = (w // 2) * (h // 2) if colorspace.startswith(b"C420") else y_size
+    out = [header]
+    for j in range(n_frames):
+        v = (luma[j] if luma else 10 * j) & 0xFF
+        out.append(b"FRAME\n")
+        out.append(bytes([v]) * y_size)          # Y
+        out.append(b"\x80" * (2 * c_size))       # U + V
+    return b"".join(out)
+
+
+class TestY4m:
+    def test_parse_header_and_frames(self):
+        from simpl_schema_spark.multimodal.y4m import (
+            frame_offsets,
+            parse_header,
+            y_plane,
+        )
+
+        b = _make_y4m(w=4, h=2, n_frames=3)
+        info = parse_header(b)
+        assert (info.width, info.height) == (4, 2)
+        assert (info.fps_num, info.fps_den) == (25, 1)
+        assert info.colorspace == "420jpeg"
+        assert info.frame_size == 8 + 2 * 2
+        offs = frame_offsets(b, info)
+        assert len(offs) == 3
+        assert y_plane(b, info, offs[1]) == bytes([10]) * 8
+
+    def test_malformed_raises(self):
+        from simpl_schema_spark.multimodal.y4m import (
+            Y4mError,
+            frame_offsets,
+            parse_header,
+        )
+
+        with pytest.raises(Y4mError, match="signature"):
+            parse_header(b"RIFFxxxx")
+        with pytest.raises(Y4mError, match="W/H"):
+            parse_header(b"YUV4MPEG2 F25:1\nFRAME\n")
+        b = _make_y4m(n_frames=2)
+        info = parse_header(b)
+        with pytest.raises(Y4mError, match="truncated"):
+            frame_offsets(b[:-3], info)
+
+    def test_colorspace_plane_sizes(self):
+        from simpl_schema_spark.multimodal.y4m import parse_header
+
+        for cs, size in [(b"C422", 8 + 2 * 4), (b"C444", 24), (b"Cmono", 8)]:
+            info = parse_header(b"YUV4MPEG2 W4 H2 %s\n" % cs)
+            assert info.frame_size == size, cs
+
+    def test_real_frame_sampling_in_spark(self, spark):
+        from simpl_schema_spark.multimodal import (
+            sample_video_frames,
+            with_media_meta,
+        )
+
+        payload = _make_y4m(w=4, h=2, n_frames=6, luma=[0, 10, 20, 30, 40, 50])
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "id bigint, payload binary"
+        )
+        meta = with_media_meta(df).collect()[0].media_meta
+        assert meta.magic == "y4m" and meta.media_type == "video"
+        out = sample_video_frames(df, n_frames=3, use_stub=False).collect()
+        # evenly spaced: frames 0, 2, 4 — REAL luma means
+        assert [(r.frame_idx, r.mean_luma) for r in out] == [
+            (0, 0.0), (2, 20.0), (4, 40.0)
+        ]
+        # identical luma planes hash identically, distinct ones differ
+        again = sample_video_frames(df, n_frames=3, use_stub=False).collect()
+        assert [r.frame_hash for r in out] == [r.frame_hash for r in again]
+        assert len({r.frame_hash for r in out}) == 3
+
+    def test_compressed_payload_raises(self, spark):
+        from simpl_schema_spark.multimodal import sample_video_frames
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x1aE\xdf\xa3" + b"x" * 50))],
+            "id bigint, payload binary",
+        )
+        with pytest.raises(Exception, match="ffmpeg"):
+            sample_video_frames(df, use_stub=False).collect()
+
+
 class TestKeepBest:
     def test_max_score_min_id_tiebreak(self, spark):
         df = spark.createDataFrame(
