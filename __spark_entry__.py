@@ -747,6 +747,52 @@ def q_url_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best(d, "url", "n_chars", "doc_id")
 
 
+def q_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus line dedup (dedup/lines.py): every document gains a
+    shared boilerplate footer line (3 variants, ~167 docs each) plus a
+    mostly-unique 25-char prefix line; lines whose trimmed form occurs in
+    >= 5 distinct documents are removed, original order and whitespace
+    preserved."""
+    from simpl_schema_spark.dedup import remove_common_lines
+
+    did = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit("\n  footer line "), (did % 3).cast("string"),
+        F.lit("\n"), F.substring(F.col("text"), 1, 25),
+    )
+    d = _docs_par(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", t2.alias("text")
+    )
+    return remove_common_lines(d, min_df=5)
+
+
+def _mojibake_suffix() -> str:
+    """EVERY artifact from MOJIBAKE_MAP space-joined, plus a BEL control --
+    built from the table itself so the query and the generated oracle
+    plant byte-identical input."""
+    from simpl_schema_spark.text.encoding import MOJIBAKE_MAP
+
+    return " " + " ".join(MOJIBAKE_MAP.keys()) + " \x07end"
+
+
+def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (text/encoding.py): every mojibake artifact in the
+    table plus a BEL control char is planted per document, then fixed and
+    stripped.  The oracle replays the SAME replace chain generated from
+    MOJIBAKE_MAP -- table and oracle cannot drift."""
+    from simpl_schema_spark.text import fix_mojibake, strip_control_chars
+
+    planted = F.concat(F.col("text"), F.lit(_mojibake_suffix()))
+    d = _docs_par(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", planted.alias("text")
+    )
+    return d.select(
+        "doc_id",
+        strip_control_chars(fix_mojibake(F.col("text"))).alias("fixed"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -791,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "sequence_chunks": q_sequence_chunks,
         "url_keep_best": q_url_keep_best,
+        "remove_common_lines": q_remove_common_lines,
+        "fix_encoding": q_fix_encoding,
     }
 
 
@@ -845,6 +893,28 @@ def _pii_oracle_sql() -> str:
             select doc_id,
                    {counts},
                    {redacted} as redacted
+              from p
+        """
+
+
+def _fix_encoding_oracle_sql() -> str:
+    """DuckDB replay of q_fix_encoding, generated from MOJIBAKE_MAP and
+    the same _mojibake_suffix() — one source of truth for the table, the
+    planted input, and the expected output."""
+    from simpl_schema_spark.text.encoding import _CONTROL_RE, MOJIBAKE_MAP
+
+    fixed = "t"
+    for bad, good in MOJIBAKE_MAP.items():
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    suffix = _mojibake_suffix().replace("'", "''")
+    return f"""
+            with p as (
+                select doc_id, text || '{suffix}' as t
+                  from documents
+                 where text is not null
+            )
+            select doc_id,
+                   regexp_replace({fixed}, '{_CONTROL_RE}', '', 'g') as fixed
               from p
         """
 
@@ -1313,6 +1383,39 @@ def oracle_sql() -> dict[str, str]:
                    < 2147483648
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "fix_encoding": _fix_encoding_oracle_sql(),
+        "remove_common_lines": """
+            with d as (
+                select doc_id,
+                       text || chr(10) || '  footer line ' ||
+                       cast(doc_id % 3 as varchar) || chr(10) ||
+                       substring(text, 1, 25) as t
+                  from documents
+                 where text is not null
+            ), l as (
+                select doc_id,
+                       unnest(string_split(t, chr(10))) as line,
+                       unnest(generate_series(
+                           1, len(string_split(t, chr(10))))) as ord
+                  from d
+            ), hot as (
+                select trim(line) as k
+                  from l
+                 where trim(line) <> ''
+                 group by 1
+                having count(distinct doc_id) >= 5
+            )
+            select l.doc_id,
+                   coalesce(
+                       string_agg(l.line, chr(10) order by l.ord)
+                           filter (where h.k is null),
+                       ''
+                   ) as text,
+                   (count(*) filter (where h.k is not null))::bigint
+                     as n_removed
+              from l left join hot h on trim(l.line) = h.k
+             group by l.doc_id
+        """,
         "sequence_chunks": r"""
             with t as (
                 select doc_id,

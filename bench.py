@@ -71,6 +71,8 @@ HEADLINE_EXTRA = [
     "pii_redaction",
     "sequence_chunks",
     "url_keep_best",
+    "remove_common_lines",
+    "fix_encoding",
 ]
 
 

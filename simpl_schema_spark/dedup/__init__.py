@@ -12,3 +12,4 @@ from .components import (  # noqa: F401
     dedup_groups_from_pairs,
 )
 from .keepbest import keep_best  # noqa: F401
+from .lines import line_document_frequencies, remove_common_lines  # noqa: F401

@@ -8,6 +8,11 @@ from .analysis import (  # noqa: F401
     word_tokens,
 )
 from .contamination import ngram_overlap  # noqa: F401
+from .encoding import (  # noqa: F401
+    MOJIBAKE_MAP,
+    fix_mojibake,
+    strip_control_chars,
+)
 from .html import html_to_text  # noqa: F401
 from .pii import PII_PATTERNS, pii_counts, redact_pii  # noqa: F401
 from .repetition import (  # noqa: F401

@@ -108,6 +108,89 @@ class TestSequenceChunks:
             sequence_chunks(df, "id", "n", capacity=0)
 
 
+class TestRemoveCommonLines:
+    def test_boilerplate_removed_order_preserved(self, spark):
+        from simpl_schema_spark.dedup import remove_common_lines
+
+        footer = "copyright footer"
+        rows = [
+            (i, f"unique body {i}\n  {footer}  \nmore {i}") for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_removed)
+            for r in remove_common_lines(df, min_df=3).collect()
+        }
+        for i in range(5):
+            # trimmed form matched; raw line (with spaces) removed; order kept
+            assert got[i] == (f"unique body {i}\nmore {i}", 1)
+
+    def test_empty_lines_never_removed_and_all_hot_doc(self, spark):
+        from simpl_schema_spark.dedup import remove_common_lines
+
+        rows = [(1, "hot\n\nhot"), (2, "hot\nkeep me"), (3, "hot")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_removed)
+            for r in remove_common_lines(df, min_df=2).collect()
+        }
+        assert got[1] == ("", 2)          # blank line alone -> "" after join? no: blank kept
+        assert got[2] == ("keep me", 1)
+        assert got[3] == ("", 1)
+
+    def test_min_df_validated(self, spark):
+        import pytest as _pt
+
+        from simpl_schema_spark.dedup import remove_common_lines
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="min_df"):
+            remove_common_lines(df, min_df=1)
+
+    def test_line_document_frequencies(self, spark):
+        from simpl_schema_spark.dedup import line_document_frequencies
+
+        # duplicate line WITHIN one doc counts that doc once
+        rows = [(1, "a\na\nb"), (2, "a"), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.line: r.n_docs for r in line_document_frequencies(df).collect()
+        }
+        assert got == {"a": 2, "b": 1}
+
+
+class TestEncodingRepair:
+    def _fix(self, spark, s):
+        from simpl_schema_spark.text import fix_mojibake, strip_control_chars
+
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(
+            strip_control_chars(fix_mojibake(F.col("t"))).alias("f")
+        ).collect()[0].f
+
+    def test_punctuation_family(self, spark):
+        # explicit escapes: the right-double-quote artifact ends in C1 9D
+        raw = (
+            'It\u00e2\u20ac\u2122s '
+            '\u00e2\u20ac\u0153ok\u00e2\u20ac\u009d '
+            '\u00e2\u20ac\u201d fine'
+        )
+        got = self._fix(spark, raw)
+        assert got == 'It\u2019s \u201cok\u201d \u2014 fine'
+
+    def test_accents_and_symbols(self, spark):
+        got = self._fix(spark, "CafÃ© Â£5 ÃŸ")
+        assert got == "Café £5 ß"
+
+    def test_controls_stripped_but_tabs_newlines_kept(self, spark):
+        got = self._fix(spark, "a\x07b\tc\nd\x9fe")
+        assert got == "ab\tc\nde"
+
+    def test_clean_text_unchanged(self, spark):
+        s = "plain ascii text, nothing to fix."
+        assert self._fix(spark, s) == s
+
+
 def _make_y4m(w=4, h=2, n_frames=3, colorspace=b"C420jpeg", luma=None):
     """Tiny synthetic YUV4MPEG2 stream; frame j's Y plane is filled with
     ``luma[j]`` (default 10*j)."""
