@@ -78,6 +78,10 @@ def remove_common_lines(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
     ).withColumn("__key", F.trim(F.col("__raw")))
+    # consumed twice (hot profile + reassembly join): materialize the
+    # exploded lines once instead of re-running scan+split+explode
+    lines = lines.persist()
+    lines.count()
     hot = (
         lines.where(F.col("__key") != "")
         .groupBy("__key")
@@ -92,7 +96,9 @@ def remove_common_lines(
         F.col("__key") == F.col("__hot"),
         "left",
     )
-    return (
+    from ..cache import materialize_and_release
+
+    result = (
         flagged.groupBy(F.col("__id").alias(id_col))
         .agg(
             F.concat_ws(
@@ -115,3 +121,4 @@ def remove_common_lines(
             F.count(F.when(F.col("__hot").isNotNull(), 1)).alias("n_removed"),
         )
     )
+    return materialize_and_release(result, lines)
