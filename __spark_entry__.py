@@ -793,6 +793,20 @@ def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile quality filter (ranking.py): keep docs at or above
+    the 0.8 percent-rank of n_chars — per-distinct-score counts + the
+    distributed prefix sum over the score grid, NO global ordered window;
+    exact-integer outputs (n_below/n_total), ties share rank like SQL
+    PERCENT_RANK."""
+    from simpl_schema_spark.ranking import percentile_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return percentile_filter(d, "n_chars", min_percentile=0.8).select(
+        "doc_id", "n_chars", "n_below", "n_total"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -839,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_keep_best": q_url_keep_best,
         "remove_common_lines": q_remove_common_lines,
         "fix_encoding": q_fix_encoding,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -1383,6 +1398,19 @@ def oracle_sql() -> dict[str, str]:
                    < 2147483648
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "quality_filter": """
+            with r as (
+                select doc_id, n_chars,
+                       (rank() over (order by n_chars) - 1)::bigint
+                         as n_below,
+                       (count(*) over ())::bigint as n_total
+                  from documents
+                 where n_chars is not null
+            )
+            select doc_id, n_chars, n_below, n_total
+              from r
+             where n_total > 1 and n_below >= 0.8 * (n_total - 1)
+        """,
         "fix_encoding": _fix_encoding_oracle_sql(),
         "remove_common_lines": """
             with d as (

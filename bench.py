@@ -73,6 +73,7 @@ HEADLINE_EXTRA = [
     "url_keep_best",
     "remove_common_lines",
     "fix_encoding",
+    "quality_filter",
 ]
 
 

@@ -32,6 +32,8 @@ def __getattr__(name):
         "hash_sample": ("simpl_schema_spark.sampling", "hash_sample"),
         "stratified_sample": ("simpl_schema_spark.sampling", "stratified_sample"),
         "sequence_chunks": ("simpl_schema_spark.packing", "sequence_chunks"),
+        "percentile_filter": ("simpl_schema_spark.ranking", "percentile_filter"),
+        "exact_rank_counts": ("simpl_schema_spark.ranking", "exact_rank_counts"),
         "exclusive_prefix_sum": ("simpl_schema_spark.packing", "exclusive_prefix_sum"),
         "keep_best": ("simpl_schema_spark.dedup", "keep_best"),
         "pii_counts": ("simpl_schema_spark.text", "pii_counts"),

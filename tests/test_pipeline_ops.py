@@ -108,6 +108,52 @@ class TestSequenceChunks:
             sequence_chunks(df, "id", "n", capacity=0)
 
 
+class TestPercentileFilter:
+    def test_matches_sql_percent_rank_with_ties(self, spark):
+        from simpl_schema_spark.ranking import exact_rank_counts
+
+        # scores: 1,2,2,3 -> n_below: 0,1,1,3 (ties share)
+        df = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 2), (4, 3), (5, None)],
+            "id long, s long",
+        )
+        got = {
+            r.id: (r.n_below, r.n_total)
+            for r in exact_rank_counts(df, "s").collect()
+        }
+        assert got == {1: (0, 4), 2: (1, 4), 3: (1, 4), 4: (3, 4)}
+
+    def test_threshold_keeps_top_share(self, spark):
+        from simpl_schema_spark.ranking import percentile_filter
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(100)], "id long, s long"
+        )
+        kept = sorted(
+            r.id for r in percentile_filter(df, "s", min_percentile=0.9).collect()
+        )
+        # n_below = id here; keep id >= 0.9*99 = 89.1 -> 90..99
+        assert kept == list(range(90, 100))
+
+    def test_single_row_and_bounds(self, spark):
+        from simpl_schema_spark.ranking import percentile_filter
+
+        df = spark.createDataFrame([(1, 5)], "id long, s long")
+        assert percentile_filter(df, "s", min_percentile=0.5).count() == 0
+        assert percentile_filter(df, "s", min_percentile=0.0).count() == 1
+        with pytest.raises(ValueError, match="min_percentile"):
+            percentile_filter(df, "s", min_percentile=1.5)
+
+    def test_no_global_window_in_plan(self, spark):
+        from simpl_schema_spark.ranking import exact_rank_counts
+
+        df = spark.createDataFrame([(i, i % 7) for i in range(50)], "id long, s long")
+        plan = exact_rank_counts(df, "s")._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "__pid" in line, line
+
+
 class TestRemoveCommonLines:
     def test_boilerplate_removed_order_preserved(self, spark):
         from simpl_schema_spark.dedup import remove_common_lines
