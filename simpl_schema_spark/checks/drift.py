@@ -283,7 +283,7 @@ def numeric_drift_ks_exact(
     Returns one row ``(ks_statistic double)`` — deterministic, so it is
     oracle-checkable against an exact SQL implementation.
     """
-    from pyspark.sql import Window
+    from ..packing import prefix_sums
 
     def counts(df: DataFrame, label: str) -> DataFrame:
         return (
@@ -299,59 +299,27 @@ def numeric_drift_ks_exact(
         F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
         F.coalesce("c_base", F.lit(0)).alias("c_base"),
     )
-    spark = merged.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    ranged = merged.repartitionByRange(n_parts, "x").withColumn(
-        "__pid", F.spark_partition_id()
+    # INCLUSIVE distributed prefix sums over the merged value grid — THE
+    # shared idiom (packing.prefix_sums): range shuffle, per-partition
+    # cumsum, broadcast offsets; no global single-task window
+    pre = prefix_sums(
+        merged, "x", ["c_cur", "c_base"], ["cum_cur", "cum_base"],
+        inclusive=True,
     )
-    # consumed three times (local cumsum + partition totals + grand
-    # totals): keep the range shuffle's result
-    ranged = ranged.persist()
-    ranged.count()
-    # derive totals from the CACHED grid — computing them from `merged`
-    # would re-run both count aggregations a second time
-    totals = ranged.agg(
+    totals = pre.agg(
         F.sum("c_cur").alias("n_cur"), F.sum("c_base").alias("n_base")
     )
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged.select(
-        "__pid",
-        F.sum("c_cur").over(w_local).alias("lc_cur"),
-        F.sum("c_base").over(w_local).alias("lc_base"),
-    )
-    # per-partition totals → exclusive prefix offsets (rows = #partitions,
-    # so the ordered window here is trivially small)
-    w_prev = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        ranged.groupBy("__pid")
-        .agg(F.sum("c_cur").alias("t_cur"), F.sum("c_base").alias("t_base"))
+    out = (
+        pre.crossJoin(F.broadcast(totals))
         .select(
-            "__pid",
-            F.coalesce(F.sum("t_cur").over(w_prev), F.lit(0)).alias("off_cur"),
-            F.coalesce(F.sum("t_base").over(w_prev), F.lit(0)).alias("off_base"),
+            F.abs(
+                F.col("cum_cur") / F.col("n_cur")
+                - F.col("cum_base") / F.col("n_base")
+            ).alias("gap")
         )
+        .agg(F.max("gap").alias("ks_statistic"))
     )
-    ecdf = (
-        local.join(F.broadcast(offsets), "__pid")
-        .select(
-            (F.col("lc_cur") + F.col("off_cur")).alias("cum_cur"),
-            (F.col("lc_base") + F.col("off_base")).alias("cum_base"),
-        )
-        .crossJoin(F.broadcast(totals))
-    )
-    out = ecdf.select(
-        F.abs(
-            F.col("cum_cur") / F.col("n_cur") - F.col("cum_base") / F.col("n_base")
-        ).alias("gap")
-    ).agg(F.max("gap").alias("ks_statistic"))
-    # materialize the 1-row statistic, then drop the range-shuffle cache
+    # materialize the 1-row statistic, then drop the grid cache
     from ..cache import materialize_and_release
 
-    return materialize_and_release(out, ranged)
+    return materialize_and_release(out, pre)

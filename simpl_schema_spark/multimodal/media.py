@@ -360,14 +360,17 @@ def sample_video_frames(
         for pdf in it:
             rows = []
             for r in pdf.to_dict("records"):
-                if r[payload_col] is None:
-                    continue
                 if not use_stub:
+                    # real path: NULL payload has no frames to sample
+                    if r[payload_col] is None:
+                        continue
                     rows.extend(
                         _y4m_frame_rows(r[id_col], bytes(r[payload_col]), n_frames)
                     )
                     continue
-                size = len(r[payload_col])
+                # stub keeps its historical contract: exactly n_frames
+                # deterministic rows per video, NULL treated as size 0
+                size = len(r[payload_col]) if r[payload_col] is not None else 0
                 for j in range(n_frames):
                     rows.append(
                         {

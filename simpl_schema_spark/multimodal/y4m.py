@@ -69,7 +69,9 @@ def parse_header(payload: bytes) -> Y4mInfo:
     """Parse the stream header; raises :class:`Y4mError` when malformed."""
     if not payload.startswith(b"YUV4MPEG2"):
         raise Y4mError("missing YUV4MPEG2 signature")
-    nl = payload.find(b"\n", 0, 512)
+    # no byte cap: the spec puts no length limit on X-comment tags, and
+    # find() is a single linear scan either way
+    nl = payload.find(b"\n")
     if nl < 0:
         raise Y4mError("unterminated stream header")
     width = height = 0
@@ -113,7 +115,7 @@ def frame_offsets(payload: bytes, info: Y4mInfo) -> list[int]:
     while pos < end:
         if payload[pos:pos + 5] != b"FRAME":
             raise Y4mError(f"expected FRAME marker at offset {pos}")
-        nl = payload.find(b"\n", pos, pos + 256)
+        nl = payload.find(b"\n", pos)
         if nl < 0:
             raise Y4mError(f"unterminated FRAME line at offset {pos}")
         data = nl + 1

@@ -8,12 +8,14 @@ per-document token counts in document order — the textbook case where a
 naive ``sum().over(Window.orderBy(id))`` collapses to a single task and
 dies at scale.
 
-:func:`exclusive_prefix_sum` implements the distributed form (shared with
-``checks/drift.numeric_drift_ks_exact``'s ECDF): range-partition by the
-order key, cumsum locally within each sorted range, then add per-partition
-offsets — a tiny ordered window over #partitions rows, broadcast back.
-The prefix sum parallelizes like a sort, so the layout holds at corpus
-scales that fit the cluster, not one executor.
+:func:`prefix_sums` implements the distributed form — range-partition by
+the order key, cumsum locally within each sorted range, then add
+per-partition offsets (a tiny ordered window over #partitions rows,
+broadcast back) — and is the ONE copy of the idiom: ``checks/drift.
+numeric_drift_ks_exact`` (inclusive, two columns) and ``ranking.
+exact_rank_counts`` call it too.  The prefix sum parallelizes like a
+sort, so the layout holds at corpus scales that fit the cluster, not one
+executor.
 
 :func:`sequence_chunks` maps each document to its place in the stream:
 global token offset, first/last chunk index, and how many chunks it
@@ -26,7 +28,83 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .cache import materialize_and_release
 
-__all__ = ["exclusive_prefix_sum", "sequence_chunks"]
+__all__ = ["prefix_sums", "exclusive_prefix_sum", "sequence_chunks"]
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: "list[str]",
+    out_cols: "list[str]",
+    *,
+    inclusive: bool = False,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """``df`` plus one running total per ``value_cols`` entry, in
+    ``order_col`` order (exclusive by default; ``inclusive=True`` counts
+    the current row — the ECDF convention).
+
+    THE distributed prefix-sum idiom (used by :func:`sequence_chunks`,
+    :func:`..ranking.exact_rank_counts`, and ``checks/drift.
+    numeric_drift_ks_exact``): range shuffle on ``order_col`` →
+    per-partition local cumsum (window PARTITIONED by partition id —
+    bounded) → exclusive per-partition offsets (one tiny ordered window
+    over #partitions rows) broadcast back.  No global-order single-task
+    window anywhere.
+
+    ``order_col`` values must be unique and non-null (they define the
+    stream order); NULL values count as 0.  The result is persisted and
+    eagerly materialized (the range-shuffle intermediate is released).
+    """
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must pair up")
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    vnames = [f"__v{i}" for i in range(len(value_cols))]
+    ranged = (
+        df.where(F.col(order_col).isNotNull())
+        .repartitionByRange(n_parts, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    for vn, vc in zip(vnames, value_cols):
+        ranged = ranged.withColumn(
+            vn, F.coalesce(F.col(vc).cast("long"), F.lit(0))
+        )
+    # consumed twice (local cumsum + partition totals): keep the range
+    # shuffle's result, release after the result materializes
+    ranged = ranged.persist()
+    ranged.count()
+    upper = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = ranged
+    for i, vn in enumerate(vnames):
+        local = local.withColumn(
+            f"__l{i}", F.coalesce(F.sum(vn).over(w_local), F.lit(0))
+        )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ranged.groupBy("__pid").agg(
+        *[F.sum(vn).alias(f"__t{i}") for i, vn in enumerate(vnames)]
+    ).select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t{i}").over(w_prev), F.lit(0)).alias(f"__o{i}")
+            for i in range(len(vnames))
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, F.col(f"__l{i}") + F.col(f"__o{i}"))
+    out = out.drop(
+        "__pid",
+        *vnames,
+        *[f"__l{i}" for i in range(len(vnames))],
+        *[f"__o{i}" for i in range(len(vnames))],
+    )
+    return materialize_and_release(out, ranged)
 
 
 def exclusive_prefix_sum(
@@ -36,52 +114,16 @@ def exclusive_prefix_sum(
     out_col: str = "prefix_sum",
     num_partitions: "int | None" = None,
 ) -> DataFrame:
-    """``df`` plus ``out_col`` = sum of ``value_col`` over all rows with a
-    strictly smaller ``order_col`` (exclusive running total in that order).
-
-    Distributed: range shuffle on ``order_col`` → per-partition local
-    cumsum (window PARTITIONED by partition id — bounded) → exclusive
-    per-partition offsets (one tiny ordered window over #partitions rows)
-    broadcast back.  No global-order single-task window anywhere.
-
-    ``order_col`` values must be unique and non-null (they define the
-    stream order); NULL ``value_col`` counts as 0.
-    """
-    spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.where(F.col(order_col).isNotNull())
-        .repartitionByRange(n_parts, order_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__v", F.coalesce(F.col(value_col).cast("long"), F.lit(0)))
+    """Single-column exclusive form of :func:`prefix_sums` (sum of
+    ``value_col`` over all rows with a strictly smaller ``order_col``)."""
+    return prefix_sums(
+        df,
+        order_col,
+        [value_col],
+        [out_col],
+        inclusive=False,
+        num_partitions=num_partitions,
     )
-    # consumed twice (local cumsum + partition totals): keep the range
-    # shuffle's result, release after the result materializes
-    ranged = ranged.persist()
-    ranged.count()
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn(
-        "__local", F.coalesce(F.sum("__v").over(w_local), F.lit(0))
-    )
-    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("__pid")
-        .agg(F.sum("__v").alias("__t"))
-        .select(
-            "__pid",
-            F.coalesce(F.sum("__t").over(w_prev), F.lit(0)).alias("__off"),
-        )
-    )
-    out = (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__local") + F.col("__off"))
-        .drop("__pid", "__v", "__local", "__off")
-    )
-    return materialize_and_release(out, ranged)
 
 
 def sequence_chunks(

@@ -89,9 +89,25 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
 
     def make_udf(fn, decode_value=False):
         if getattr(fn, "vectorized", False):
+            if decode_value:
+                # deep nested value arrived as a to_json string — decode
+                # the Series BEFORE the vectorized fn sees it, same as the
+                # per-element branch below
+                import json as _json
 
-            def _apply(s: pd.Series) -> pd.Series:
-                return fn(s)
+                def _apply(s: pd.Series) -> pd.Series:
+                    return fn(
+                        s.map(
+                            lambda v: _json.loads(v)
+                            if isinstance(v, str)
+                            else v
+                        )
+                    )
+
+            else:
+
+                def _apply(s: pd.Series) -> pd.Series:
+                    return fn(s)
 
         elif decode_value:
             # deep nested value arrived as a to_json string (see

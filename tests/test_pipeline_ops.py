@@ -108,6 +108,81 @@ class TestSequenceChunks:
             sequence_chunks(df, "id", "n", capacity=0)
 
 
+class TestReviewRound2Fixes:
+    """Second self-review pass (post-late-additions) findings."""
+
+    def test_vectorized_validator_on_deep_column_gets_decoded_values(self, spark):
+        from tests.helpers import run_validation
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def too_long(s):
+            # vectorized: Series of the REAL nested lists, not JSON strings
+            return s.map(
+                lambda v: "tooLong" if v is not None and len(v) > 1 else None
+            )
+
+        too_long.vectorized = True
+        ss = SimpleSchema(
+            {
+                "cube": {
+                    "type": SimpleSchema.Array,
+                    "optional": True,
+                    "custom": too_long,
+                },
+                "cube.$": {"type": SimpleSchema.Array},
+                "cube.$.$": {"type": SimpleSchema.Array},
+                "cube.$.$.$": {"type": str},
+            }
+        )
+        ddl = "cube array<array<array<string>>>"
+        rows = [
+            {"cube": [[["a"]]]},            # outer len 1 -> ok
+            {"cube": [[["a"]], [["b"]]]},   # outer len 2 -> tooLong
+        ]
+        out = run_validation(spark, ss, ddl, rows)
+        assert out[0] == []
+        assert [(v["name"], v["type"]) for v in out[1]] == [("cube", "tooLong")]
+
+    def test_video_stub_emits_rows_for_null_payload(self, spark):
+        from simpl_schema_spark.multimodal import sample_video_frames
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x" * 10)), (2, None)], "id bigint, payload binary"
+        )
+        out = sample_video_frames(df, n_frames=2, use_stub=True).collect()
+        assert sorted((r.id, r.frame_idx) for r in out) == [
+            (1, 0), (1, 1), (2, 0), (2, 1)
+        ]
+
+    def test_y4m_long_comment_header_parses(self):
+        from simpl_schema_spark.multimodal.y4m import frame_offsets, parse_header
+
+        b = (
+            b"YUV4MPEG2 W2 H2 F25:1 X" + b"c" * 2000 + b"\n"
+            + b"FRAME\n" + b"\x10" * 4 + b"\x80" * 2
+        )
+        info = parse_header(b)
+        assert (info.width, info.height) == (2, 2)
+        assert len(frame_offsets(b, info)) == 1
+
+    def test_inclusive_prefix_sums_multi_column(self, spark):
+        from simpl_schema_spark.packing import prefix_sums
+
+        rows = [(i, 1, i % 3) for i in range(30)]
+        df = spark.createDataFrame(rows, "x long, a long, b long")
+        got = {
+            r.x: (r.ca, r.cb)
+            for r in prefix_sums(
+                df, "x", ["a", "b"], ["ca", "cb"], inclusive=True
+            ).collect()
+        }
+        sa = sb = 0
+        for x, a, b in rows:
+            sa += a
+            sb += b
+            assert got[x] == (sa, sb)
+
+
 class TestPercentileFilter:
     def test_matches_sql_percent_rank_with_ties(self, spark):
         from simpl_schema_spark.ranking import exact_rank_counts
