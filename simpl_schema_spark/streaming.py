@@ -22,6 +22,7 @@ __all__ = [
     "stream_dedup_exact",
     "streaming_category_counts",
     "psi_per_window",
+    "streaming_pii_rates",
 ]
 
 
@@ -175,6 +176,39 @@ def psi_per_window(
         F.sum("obs").alias("n_current"),
         F.count(F.lit(1)).alias("n_categories"),
     )
+
+
+def streaming_pii_rates(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    *,
+    ts_col: str = "warc_ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed PII incidence over a document stream — the live-ingest
+    side of :mod:`.text.pii` (a crawl whose email rate jumps 100x is a
+    parser bug or a leaked dump; both need an alert, not a batch job).
+
+    Output per window: ``n_docs``, one ``docs_<class>`` column per PII
+    class (documents containing at least one match — rates are
+    ``docs_x / n_docs``), and ``matches_<class>`` totals.  The per-row
+    regex work is stateless map-side expression; only the tiny per-window
+    counters are stateful, watermark-bounded.
+    """
+    from .text.pii import PII_PATTERNS
+
+    flagged = stream_df.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, (pat, _) in PII_PATTERNS.items():
+        n = F.regexp_count(F.col(text_col), F.lit(pat))
+        aggs.append(
+            F.sum(F.when(n > 0, 1).otherwise(0)).alias(f"docs_{name}")
+        )
+        aggs.append(F.sum(F.coalesce(n, F.lit(0))).alias(f"matches_{name}"))
+    return flagged.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window")
+    ).agg(*aggs)
 
 
 def stateful_host_violation_tracker(

@@ -108,6 +108,42 @@ class TestSequenceChunks:
             sequence_chunks(df, "id", "n", capacity=0)
 
 
+class TestStreamingPii:
+    def test_windowed_rates_match_batch(self, spark, tmp_path):
+        import datetime
+
+        from simpl_schema_spark.streaming import streaming_pii_rates
+
+        src = str(tmp_path / "pii_src")
+        ts = datetime.datetime(2026, 1, 1, 0, 30)
+        rows = [
+            (1, ts, "contact a@b.com and c@d.org"),   # 1 doc, 2 emails
+            (2, ts, "from 10.0.0.1"),                  # 1 doc, 1 ip
+            (3, ts, "clean text"),
+            (4, ts, None),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, warc_ts timestamp, text string"
+        ).write.mode("overwrite").parquet(src)
+        static_schema = spark.read.parquet(src).schema
+
+        stream = spark.readStream.schema(static_schema).parquet(src)
+        out = streaming_pii_rates(stream, window_duration="24 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("pii_rates")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        [r] = spark.sql("select * from pii_rates").collect()
+        assert r.n_docs == 4
+        assert (r.docs_email, r.matches_email) == (1, 2)
+        assert (r.docs_ipv4, r.matches_ipv4) == (1, 1)
+        assert (r.docs_phone, r.matches_phone) == (0, 0)
+
+
 class TestReviewRound2Fixes:
     """Second self-review pass (post-late-additions) findings."""
 
