@@ -98,6 +98,38 @@ def materialize(df) -> int:
     return -1
 
 
+def load_prior_bests() -> dict[str, float]:
+    """Per-query MIN across every prior round's BENCH_r*.json — the
+    reference for burst detection.  The min (not the latest) because a
+    prior artifact can itself be burst-contaminated (BENCH_r04 shipped
+    two 12-25x phantom regressions)."""
+    import glob
+
+    best: dict[str, float] = {}
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                queries = json.load(f).get("parsed", {}).get("queries", {})
+        except (OSError, ValueError):
+            continue
+        for name, sec in queries.items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, sec), sec)
+    return best
+
+
+def _sentinel_plan(spark):
+    """Constant-work pure-CPU probe (~fraction of a second warm): its wall
+    time moves only with host contention, never with engine changes."""
+    from pyspark.sql import functions as F
+
+    expr = F.col("id")
+    for i in range(10):
+        expr = F.xxhash64(expr, F.lit(i))
+    return spark.range(0, 30_000_000, 1, 64).select(expr.alias("h"))
+
+
 def run_headline() -> None:
     import __spark_entry__ as entry_mod
 
@@ -107,9 +139,31 @@ def run_headline() -> None:
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
 
+    sentinel = _sentinel_plan(spark)
+    materialize(sentinel)  # warm-up (JIT)
+
+    def sentinel_sec() -> float:
+        t0 = time.perf_counter()
+        materialize(sentinel)
+        return time.perf_counter() - t0
+
+    sentinel_base = min(sentinel_sec() for _ in range(3))
+    prior = load_prior_bests()
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    suspect: dict[str, str] = {}
     total = 0.0
+
+    def timed_run(fn) -> float:
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        wall = round(time.perf_counter() - t0, 3)
+        # each run stands alone: drop persisted frames so later runs
+        # aren't squeezed by cache residue
+        spark.catalog.clearCache()
+        return wall
+
     for name in HEADLINE + HEADLINE_EXTRA:
         fn = qs[name]
         # best of 2 (+1 adaptive): this host suffers multi-x contention
@@ -117,19 +171,39 @@ def run_headline() -> None:
         # min is the engine's signal, and the JIT-warm rerun matches the
         # steady state that matters for 100 TB throughput anyway.  If the
         # two runs disagree by >2x a burst hit one of them — take a third.
-        walls = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            walls.append(round(time.perf_counter() - t0, 3))
-            # each run stands alone: drop persisted frames so later runs
-            # aren't squeezed by cache residue
-            spark.catalog.clearCache()
+        walls = [timed_run(fn) for _ in range(2)]
         if max(walls) > 2 * min(walls):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            walls.append(round(time.perf_counter() - t0, 3))
-            spark.catalog.clearCache()
+            walls.append(timed_run(fn))
+        # burst defense #2 (a burst spanning ALL runs defeats the
+        # disagreement check): compare against the best this query has
+        # ever recorded; on a >3x excursion, wait for the constant-work
+        # sentinel to confirm a quiet window, then re-time.  Still >3x in
+        # a confirmed-quiet window -> genuine regression, keep unflagged;
+        # no quiet window found -> ship the number marked `suspect`.
+        ref = prior.get(name)
+        if ref is not None and min(walls) > 3 * ref:
+            quiet_confirmed = False
+            for _ in range(4):
+                if sentinel_sec() <= 2 * sentinel_base:
+                    quiet_confirmed = True
+                    walls.append(timed_run(fn))
+                    if min(walls) <= 3 * ref:
+                        break
+                else:
+                    time.sleep(3)
+            if min(walls) > 3 * ref:
+                if quiet_confirmed:
+                    suspect[name] = (
+                        f"{min(walls)}s > 3x prior best {ref}s, reproduced "
+                        "in a sentinel-confirmed quiet window — likely a "
+                        "real regression"
+                    )
+                else:
+                    suspect[name] = (
+                        f"{min(walls)}s > 3x prior best {ref}s and no "
+                        "quiet window found (sentinel stayed "
+                        ">2x baseline) — host contention, not the engine"
+                    )
         timings[name] = min(walls)
         total += min(walls)
     spark.stop()
@@ -141,6 +215,8 @@ def run_headline() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "suspect": suspect,
+                "sentinel_base_sec": round(sentinel_base, 3),
                 "legacy16_total": legacy16,
                 "sf": sf,
             }

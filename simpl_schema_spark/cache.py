@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["materialize_and_release"]
+__all__ = ["materialize_and_release", "track", "release_tracked"]
+
+#: persisted intermediates whose lifetime outlives their operator call
+#: (e.g. the prefix-sum grid a lazy join-back still reads from) — drained
+#: by :func:`release_tracked` between pipeline stages
+_TRACKED: "list[DataFrame]" = []
 
 
 def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
@@ -28,3 +33,26 @@ def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> Dat
     for df in intermediates:
         df.unpersist(blocking=False)
     return out
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register a persisted DataFrame for deferred release.
+
+    Some operators must return a LAZY plan that still reads a persisted
+    intermediate (releasing it inline would force a full recompute at the
+    caller's action).  They register it here instead of leaking it; long
+    pipelines call :func:`release_tracked` between stages to bound
+    executor storage.
+    """
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked intermediate (non-blocking).  Call after
+    the consuming action has materialized — typically between pipeline
+    stages.  Returns how many were released."""
+    n = len(_TRACKED)
+    while _TRACKED:
+        _TRACKED.pop().unpersist(blocking=False)
+    return n

@@ -16,8 +16,27 @@ sensitivity beyond the hash agg AQE already handles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 __all__ = ["keep_best"]
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _neg_exact(df: DataFrame, score_col: str):
+    """``-score`` with exact ordering and no ANSI overflow.
+
+    Under Spark 4 ANSI mode ``-CAST(Long.MIN_VALUE AS BIGINT)`` throws
+    ARITHMETIC_OVERFLOW; integral scores are therefore widened to
+    ``decimal(20,0)`` (lossless for the full 64-bit range, symmetric, so
+    negation can't overflow) before negating.  Fractional/decimal types
+    negate directly — IEEE floats and Spark decimals are sign-symmetric.
+    """
+    dt = df.schema[score_col].dataType
+    col = F.col(score_col)
+    if isinstance(dt, _INTEGRAL):
+        col = col.cast("decimal(20,0)")
+    return -col
 
 
 def keep_best(
@@ -33,14 +52,15 @@ def keep_best(
     dropped (a null canonical url groups nothing); NULL scores sort last
     within their key (any non-null-scored duplicate wins over them).
     """
-    # ANSI-safe ordering trick: minus a long/double is exact, and struct
-    # comparison is lexicographic, so min(struct(-score, id)) is the
-    # deterministic arg-max.  A leading null-flag field makes the NULL-
-    # score rule explicit instead of leaning on engine null-ordering.
+    # Ordering trick: struct comparison is lexicographic, so
+    # min(struct(-score, id)) is the deterministic arg-max; _neg_exact
+    # widens integral scores so the negation is ANSI-overflow-proof.  A
+    # leading null-flag field makes the NULL-score rule explicit instead
+    # of leaning on engine null-ordering.
     winner = F.min(
         F.struct(
             F.col(score_col).isNull().cast("int").alias("null_last"),
-            (-F.col(score_col)).alias("s"),
+            _neg_exact(df, score_col).alias("s"),
             F.col(id_col).alias("i"),
             F.col(score_col).alias("score"),
         )

@@ -12,9 +12,9 @@ Shape at 100 TB:
 1. ``posexplode`` the lines (no shuffle — rides the scan),
 2. count DISTINCT documents per normalized line via a two-level hash
    aggregation (map-side partial on (line, doc) then (line)),
-3. anti-join each line against the hot set — AQE broadcasts it when the
-   threshold keeps it small (boilerplate sets are tiny relative to the
-   corpus; pass ``hint_broadcast=False`` for pathological thresholds),
+3. anti-join each line against the hot set — AQE broadcasts it at
+   runtime when the counted set is genuinely small (the safe default;
+   ``hint_broadcast=True`` forces it for known-tiny boilerplate sets),
 4. reassemble documents with ``groupBy(doc).agg(sort-by-position +
    concat_ws)`` — state per reducer is one document's own lines.
 
@@ -54,7 +54,7 @@ def remove_common_lines(
     text_col: str = "text",
     *,
     min_df: int = 2,
-    hint_broadcast: bool = True,
+    hint_broadcast: bool = False,
 ) -> DataFrame:
     """Documents with corpus-common lines removed (C4 line dedup).
 
@@ -66,10 +66,14 @@ def remove_common_lines(
     ``\\n``, original order and whitespace preserved; empty string when
     everything was boilerplate) ``· n_removed``.
 
-    ``hint_broadcast`` broadcasts the hot-line set into the anti-join —
-    right whenever ``min_df`` is set for genuine boilerplate (the hot set
-    is small); disable it to let AQE pick for low thresholds on huge
-    corpora.
+    The hot-set join is AQE-decided by default: at web scale the "lines
+    in ≥ min_df distinct docs" set is NOT reliably small (every
+    syndicated sentence qualifies at ``min_df=2``), and a forced
+    broadcast of a billion-row hot set OOMs the driver.  Both sides
+    already hash-partition on the line key, and AQE converts to a
+    broadcast join at runtime whenever the counted hot set is genuinely
+    under the threshold.  Pass ``hint_broadcast=True`` only when the
+    caller KNOWS the threshold yields a tiny boilerplate set.
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")

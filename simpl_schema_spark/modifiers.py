@@ -1269,9 +1269,13 @@ def _apply_modifier_auto_values(
     getPositionsForAutoValue.ts:43-148): the fn is applied inside matching
     entries' decoded JSON — per element of a whole-array ``$set``, to the
     pushed item (or each ``$each`` item) of ``$push``/``$addToSet``, and to
-    positional/indexed keys (``a.$.b``, ``a.0.b``) directly.  Only plain
-    Python fns run positionally (@spark_auto_value expression fns need a
-    Column context and are document-mode only).
+    positional/indexed keys (``a.$.b``, ``a.0.b``) directly.  When NO
+    entry touches the key's subtree (unrelated update, or a sibling-leaf
+    ``$set`` like ``a.0.x`` for field ``a.$.y``) the fn still runs once
+    against a synthesized would-be ``$set[<generic key>]`` position —
+    skipped for upserts — matching getPositionsForAutoValue.ts:135-147.
+    Only plain Python fns run positionally (@spark_auto_value expression
+    fns need a Column context and are document-mode only).
 
     Shape: ONE groupBy(doc) collecting the (bounded, schema-sized) operator
     entries + ONE Arrow-batched UDF evaluating every autoValue fn per doc +
@@ -1377,6 +1381,7 @@ def _apply_modifier_auto_values(
                 d[seg] = r
             return d
 
+        matched = False
         for k in list(ents):
             op0, tok = ents[k]
             kseg = k.split(".")
@@ -1387,6 +1392,7 @@ def _apply_modifier_auto_values(
                 for gs, ks in zip(segs, kseg)
             ):
                 continue
+            matched = True
             remaining = segs[len(kseg):]
             decoded = _decode_token(tok)
             if op0 in ("$push", "$addToSet"):
@@ -1427,6 +1433,25 @@ def _apply_modifier_auto_values(
                     ents.pop(k, None)
                 elif r is not _Skip:
                     ents[k] = (op0, _encode_json_value(r))
+        if not matched and not upsert:
+            # would-be position (getPositionsForAutoValue.ts:135-147): no
+            # entry touches this key's subtree — not even partially, like
+            # a $set on a SIBLING leaf (`a.0.x` for field `a.$.y`, whose
+            # parent path ends in `.$` so no creating position exists) —
+            # yet the fn still runs ONCE, unset, under a synthesized
+            # `$set[<generic key>]` position.  The `$` stays generic in
+            # the emitted key, exactly as the reference's
+            # setValueForPosition('$set[a.$.y]') leaves it
+            # (AutoValueRunner.ts:137-146); upserts skip it.
+            res = run_fn(None, "$set", False)
+            if res is not _Skip and res is not _Remove:
+                if isinstance(res, dict) and any(
+                    str(p).startswith("$") for p in res
+                ):
+                    new_op = next(p for p in res if str(p).startswith("$"))
+                    ents[g] = (new_op, _default_as_json(res[new_op]))
+                else:
+                    ents[g] = ("$set", _default_as_json(res))
 
     def run(entries, upsert):
         ents = {}

@@ -78,6 +78,13 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("media_meta", meta)
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'skip', got {on_error!r}"
+        )
+
+
 _IMAGE_FEATURES_SCHEMA = "id bigint, width int, height int, embedding array<float>"
 
 
@@ -99,6 +106,7 @@ def decode_image_features(
     payload_col: str = "payload",
     embedding_dim: int = 8,
     use_stub: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode images and extract features via Arrow-batched mapInPandas.
 
@@ -110,7 +118,13 @@ def decode_image_features(
     marking where a production vision encoder plugs in.  ``use_stub=True``
     produces DETERMINISTIC FAKE features (hash-derived) with the exact same
     schema, batch shape, and partition behavior.
+
+    ``on_error='skip'`` drops undecodable payloads instead of aborting the
+    whole job on one corrupt row — the right default posture for a web
+    crawl, where a 10^12-row decode stage WILL meet truncated bytes;
+    ``'raise'`` (default) keeps the loud fail-fast contract.
     """
+    _check_on_error(on_error)
 
     def _bucketize(hist: list[int]) -> list[float]:
         # coarse luminance histogram, L1-normalized to embedding_dim buckets
@@ -151,21 +165,31 @@ def decode_image_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         real = not use_stub
         decode = _pil_features if pil_available() else _minipng_features
+        skip = on_error == "skip"
         for pdf in it:
             ids = pdf[id_col]
             if real:
-                widths, heights, embs = [], [], []
-                for b in pdf[payload_col]:
+                out_ids, widths, heights, embs = [], [], [], []
+                for rid, b in zip(ids, pdf[payload_col]):
                     if b is None:
-                        widths.append(0); heights.append(0)
-                        embs.append([0.0] * embedding_dim)
+                        w, h, e = 0, 0, [0.0] * embedding_dim
                     else:
-                        w, h, e = decode(bytes(b))
-                        widths.append(w); heights.append(h); embs.append(e)
+                        try:
+                            w, h, e = decode(bytes(b))
+                        except Exception:  # noqa: BLE001 — per-row policy
+                            if skip:
+                                continue
+                            raise
+                    out_ids.append(rid)
+                    widths.append(w); heights.append(h); embs.append(e)
                 out = pd.DataFrame(
-                    {"id": ids, "width": pd.Series(widths, dtype="int32"),
+                    {"id": pd.Series(out_ids, dtype="int64"),
+                     "width": pd.Series(widths, dtype="int32"),
                      "height": pd.Series(heights, dtype="int32"),
-                     "embedding": embs}
+                     # dtype=object: an empty/uniform list column would
+                     # otherwise arrive at Arrow as a 2-D ndarray it
+                     # cannot convert to list<float>
+                     "embedding": pd.Series(embs, dtype=object)}
                 )
                 yield out
                 continue
@@ -202,6 +226,7 @@ def decode_audio_features(
     payload_col: str = "payload",
     embedding_dim: int = 8,
     use_stub: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode audio and extract features via Arrow-batched mapInPandas.
 
@@ -212,8 +237,11 @@ def decode_audio_features(
     Non-WAV / compressed payloads raise NotImplementedError at the decode
     site, marking where a production codec (ffmpeg/soundfile) plugs in.
     ``use_stub=True`` produces DETERMINISTIC FAKE features with the same
-    schema and batch shape.
+    schema and batch shape.  ``on_error='skip'`` drops undecodable
+    payloads instead of aborting the job (see
+    :func:`decode_image_features`).
     """
+    _check_on_error(on_error)
 
     def _wav_features(payload: bytes) -> tuple[int, int, float, list[float]]:
         import io
@@ -251,24 +279,30 @@ def decode_audio_features(
         return rate, nch, duration, [float(v / norm) for v in rms]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        skip = on_error == "skip"
         for pdf in it:
             ids = pdf[id_col]
             if not use_stub:
-                rates, chans, durs, embs = [], [], [], []
-                for b in pdf[payload_col]:
+                out_ids, rates, chans, durs, embs = [], [], [], [], []
+                for rid, b in zip(ids, pdf[payload_col]):
                     if b is None:
-                        rates.append(0); chans.append(0); durs.append(0.0)
-                        embs.append([0.0] * embedding_dim)
+                        r, c, d, e = 0, 0, 0.0, [0.0] * embedding_dim
                     else:
-                        r, c, d, e = _wav_features(bytes(b))
-                        rates.append(r); chans.append(c); durs.append(d)
-                        embs.append(e)
+                        try:
+                            r, c, d, e = _wav_features(bytes(b))
+                        except Exception:  # noqa: BLE001 — per-row policy
+                            if skip:
+                                continue
+                            raise
+                    out_ids.append(rid)
+                    rates.append(r); chans.append(c); durs.append(d)
+                    embs.append(e)
                 yield pd.DataFrame(
-                    {"id": ids,
+                    {"id": pd.Series(out_ids, dtype="int64"),
                      "sample_rate": pd.Series(rates, dtype="int32"),
                      "n_channels": pd.Series(chans, dtype="int32"),
                      "duration_sec": pd.Series(durs, dtype="float64"),
-                     "embedding": embs}
+                     "embedding": pd.Series(embs, dtype=object)}
                 )
                 continue
             sizes = pdf[payload_col].map(
@@ -343,6 +377,7 @@ def sample_video_frames(
     payload_col: str = "payload",
     n_frames: int = 4,
     use_stub: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Sample frames from video payloads: one output row per sampled frame.
 
@@ -353,10 +388,14 @@ def sample_video_frames(
     containers (mp4/webm) raise NotImplementedError at the decode site —
     the ffmpeg/pyav plug-point.  ``use_stub=True`` emits exactly
     ``n_frames`` DETERMINISTIC FAKE rows per video with the same schema
-    and batch shape.
+    and batch shape.  ``on_error='skip'`` emits no frames for
+    undecodable payloads instead of aborting the job (see
+    :func:`decode_image_features`).
     """
+    _check_on_error(on_error)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        skip = on_error == "skip"
         for pdf in it:
             rows = []
             for r in pdf.to_dict("records"):
@@ -364,9 +403,15 @@ def sample_video_frames(
                     # real path: NULL payload has no frames to sample
                     if r[payload_col] is None:
                         continue
-                    rows.extend(
-                        _y4m_frame_rows(r[id_col], bytes(r[payload_col]), n_frames)
-                    )
+                    try:
+                        rows.extend(
+                            _y4m_frame_rows(
+                                r[id_col], bytes(r[payload_col]), n_frames
+                            )
+                        )
+                    except Exception:  # noqa: BLE001 — per-row policy
+                        if not skip:
+                            raise
                     continue
                 # stub keeps its historical contract: exactly n_frames
                 # deterministic rows per video, NULL treated as size 0

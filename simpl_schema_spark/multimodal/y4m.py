@@ -48,6 +48,15 @@ class Y4mInfo:
 def _plane_bytes(w: int, h: int, colorspace: str) -> int:
     """Total raw bytes of one frame's planes for a colorspace tag."""
     y = w * h
+    # bit-depth-suffixed tags (C420p10, C422p12, …) store 2 bytes/sample;
+    # reject them explicitly rather than mis-sizing the frame as 8-bit and
+    # failing later with a misleading 'expected FRAME marker' error
+    for depth_suffix in ("p10", "p12", "p14", "p16"):
+        if colorspace.endswith(depth_suffix):
+            raise Y4mError(
+                f"unsupported colorspace C{colorspace}: >8-bit-per-sample "
+                "streams are not handled (8-bit 420/422/444/mono only)"
+            )
     if colorspace.startswith("420"):  # 420jpeg / 420mpeg2 / 420paldv / 420
         if w % 2 or h % 2:
             raise Y4mError(f"4:2:0 requires even dimensions, got {w}x{h}")

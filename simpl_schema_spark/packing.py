@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .cache import materialize_and_release
+from .cache import materialize_and_release, track
 
 __all__ = ["prefix_sums", "exclusive_prefix_sum", "sequence_chunks"]
 
@@ -53,16 +53,28 @@ def prefix_sums(
     window anywhere.
 
     ``order_col`` values must be unique and non-null (they define the
-    stream order); NULL values count as 0.  The result is persisted and
-    eagerly materialized (the range-shuffle intermediate is released).
+    stream order); NULL values count as 0.
+
+    Persist footprint is NARROW regardless of the input width: only
+    ``order_col + value_cols`` ride the range shuffle and the cache.  A
+    wide input is projected first and the running totals joined back on
+    ``order_col`` (unique by contract) — one extra hash shuffle instead
+    of caching the whole corpus; the narrow totals cache is registered
+    with :func:`..cache.track` for ``release_tracked()`` after the
+    caller's action.  Narrow inputs return the persisted result directly.
     """
     if len(value_cols) != len(out_cols):
         raise ValueError("value_cols and out_cols must pair up")
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     vnames = [f"__v{i}" for i in range(len(value_cols))]
+    needed = [order_col] + [
+        c for c in dict.fromkeys(value_cols) if c != order_col
+    ]
+    extra = [c for c in df.columns if c not in needed]
+    src = df.select(*needed) if extra else df
     ranged = (
-        df.where(F.col(order_col).isNotNull())
+        src.where(F.col(order_col).isNotNull())
         .repartitionByRange(n_parts, order_col)
         .withColumn("__pid", F.spark_partition_id())
     )
@@ -104,7 +116,15 @@ def prefix_sums(
         *[f"__l{i}" for i in range(len(vnames))],
         *[f"__o{i}" for i in range(len(vnames))],
     )
-    return materialize_and_release(out, ranged)
+    out = materialize_and_release(out, ranged)
+    if extra:
+        # lazy join-back: the persisted narrow totals must outlive this
+        # call (the caller's action reads them) — tracked, not leaked
+        track(out)
+        return df.join(
+            out.select(order_col, *out_cols), order_col, "inner"
+        ).select(*df.columns, *out_cols)
+    return out
 
 
 def exclusive_prefix_sum(
@@ -164,7 +184,7 @@ def sequence_chunks(
     last = F.expr(
         f"(tok_start + greatest(n_tokens, 1L) - 1L) div {int(capacity)}"
     )
-    return pre.select(
+    out = pre.select(
         id_col,
         "n_tokens",
         "tok_start",
@@ -172,3 +192,6 @@ def sequence_chunks(
         last.alias("chunk_last"),
         (last - first + 1).alias("n_chunks"),
     )
+    # release the prefix-sum cache once the layout (same row count,
+    # pure-projection-cheap) is materialized — no per-call cache leak
+    return materialize_and_release(out, pre)

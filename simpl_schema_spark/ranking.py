@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .cache import track
 from .packing import exclusive_prefix_sum
 
 __all__ = ["exact_rank_counts", "percentile_filter"]
@@ -40,6 +41,10 @@ def exact_rank_counts(
     pre = exclusive_prefix_sum(
         grid, order_col=score_col, value_col="__c", out_col="n_below"
     )
+    # the persisted score grid feeds two lazy branches (totals + join)
+    # that only materialize at the caller's action — tracked so
+    # cache.release_tracked() can drop it afterwards instead of leaking
+    track(pre)
     totals = pre.agg(F.sum("__c").alias("n_total"))
     return (
         base.join(pre.select(score_col, "n_below"), score_col)

@@ -73,17 +73,22 @@ def stratified_sample(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    # null key → null hash; -1 sorts first, mirroring the window version's
-    # asc-nulls-first default
+    # NULL keys sort first (the window version's asc-nulls-first default),
+    # carried as an EXPLICIT leading flag — xxhash/md5 outputs range over
+    # the full integer space, so no sentinel hash value can encode
+    # null-ness without colliding with a real key's hash
     item = F.struct(
-        F.coalesce(hash_key(F.col(key_col)), F.lit(-1)).alias("hk"),
+        F.col(key_col).isNotNull().cast("int").alias("nn"),
+        hash_key(F.col(key_col)).alias("hk"),
         F.col(key_col).alias("k"),
         F.struct(*[F.col(c) for c in df.columns]).alias("row"),
     )
 
     def _cmp(a, b):
         return (
-            F.when(a["hk"] < b["hk"], F.lit(-1))
+            F.when(a["nn"] < b["nn"], F.lit(-1))
+            .when(a["nn"] > b["nn"], F.lit(1))
+            .when(a["hk"] < b["hk"], F.lit(-1))
             .when(a["hk"] > b["hk"], F.lit(1))
             .when(a["k"] < b["k"], F.lit(-1))
             .when(a["k"] > b["k"], F.lit(1))

@@ -1233,12 +1233,89 @@ class TestModifierArrayAutoValues:
             self._array_of_objects_schema(),
             [(1, "$set", "avArrayOfObjects.0.a", '"x"', False)],
         )
-        # entry matches a PREFIX of the av key's parent only — the leaf
-        # path diverges, so the value passes through untouched.  (Known
-        # limitation vs the reference: would-be SIBLING positions —
-        # synthesizing $set['avArrayOfObjects.0.foo'] from this entry —
-        # are not created.)
+        # the sibling-leaf entry passes through untouched...
         assert got[(1, "$set", "avArrayOfObjects.0.a")] == '"x"'
+        # ...and the autoValue still runs ONCE against the synthesized
+        # would-be position.  Reference trace: positions for
+        # 'avArrayOfObjects.$.foo' are empty (the $set leaf diverges at
+        # 'a'), the parent path 'avArrayOfObjects.$' ends in '.$' so no
+        # creating-position branch applies, and the final would-be block
+        # (getPositionsForAutoValue.ts:135-147) pushes
+        # $set[avArrayOfObjects.$.foo]; the plain return lands at that
+        # position verbatim (AutoValueRunner.ts:146), keeping the
+        # generic '$' in the emitted key.
+        assert got[(1, "$set", "avArrayOfObjects.$.foo")] == '"bar"'
+
+    def test_unrelated_update_runs_fn_once_unset(self, spark):
+        # the ADVICE no-entry case: an items.$.updatedAt-style autoValue
+        # fires on an update that never mentions the array at all
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def stamp(ctx):
+            if ctx.is_set:
+                return ctx.UNCHANGED
+            return "STAMPED"
+
+        ss = SimpleSchema(
+            {
+                "name": {"type": str, "optional": True},
+                "items": {"type": SimpleSchema.Array, "optional": True},
+                "items.$": {"type": dict},
+                "items.$.updatedAt": {
+                    "type": str, "optional": True, "autoValue": stamp,
+                },
+            }
+        )
+        got = self._clean(spark, ss, [(1, "$set", "name", '"x"', False)])
+        assert got[(1, "$set", "name")] == '"x"'
+        assert got[(1, "$set", "items.$.updatedAt")] == '"STAMPED"'
+
+    def test_would_be_position_skipped_for_upserts(self, spark):
+        # getPositionsForAutoValue.ts:137 gates the would-be on
+        # isUpsert !== true
+        got = self._clean(
+            spark,
+            self._array_of_objects_schema(),
+            [(1, "$set", "avArrayOfObjects.0.a", '"x"', True)],
+        )
+        assert got[(1, "$set", "avArrayOfObjects.0.a")] == '"x"'
+        assert (1, "$set", "avArrayOfObjects.$.foo") not in got
+
+    def test_would_be_position_suppressed_by_matching_entry(self, spark):
+        # a whole-array $set reaches the subtree, so the positional runs
+        # replace the would-be — no extra generic entry appears
+        got = self._clean(
+            spark,
+            self._array_of_objects_schema(),
+            [(1, "$set", "avArrayOfObjects", '[{"a": "b"}]', False)],
+        )
+        assert got[(1, "$set", "avArrayOfObjects")] == (
+            '[{"a": "b", "foo": "bar"}]'
+        )
+        assert (1, "$set", "avArrayOfObjects.$.foo") not in got
+
+    def test_would_be_unchanged_returns_no_entry(self, spark):
+        # fn returning UNCHANGED at the would-be position adds nothing
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def only_when_set(ctx):
+            if not ctx.is_set:
+                return ctx.UNCHANGED
+            return "SEEN"
+
+        ss = SimpleSchema(
+            {
+                "name": {"type": str, "optional": True},
+                "items": {"type": SimpleSchema.Array, "optional": True},
+                "items.$": {"type": dict},
+                "items.$.flag": {
+                    "type": str, "optional": True,
+                    "autoValue": only_when_set,
+                },
+            }
+        )
+        got = self._clean(spark, ss, [(1, "$set", "name", '"x"', False)])
+        assert got == {(1, "$set", "name"): '"x"'}
 
 
 class TestPseudoModifierDatetime:

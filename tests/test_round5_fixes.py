@@ -1,0 +1,249 @@
+"""Round-5 fixes: scale-safe defaults, ANSI-overflow-proof ordering,
+narrow prefix-sum persists, explicit null-ordering flags, y4m bit-depth
+rejection, and per-row decode error policy."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class TestKeepBestAnsiSafety:
+    def test_long_min_value_score_no_overflow(self, spark):
+        # Long.MIN_VALUE negation throws ARITHMETIC_OVERFLOW under ANSI
+        # mode; the decimal(20,0) widening must make it exact instead
+        from simpl_schema_spark.dedup import keep_best
+
+        lo = -(1 << 63)  # Long.MIN_VALUE
+        df = spark.createDataFrame(
+            [("u", lo, 3), ("u", lo + 1, 2), ("u", None, 1)],
+            "url string, score bigint, doc_id int",
+        )
+        rows = keep_best(df, "url", "score", "doc_id").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # highest score wins (lo+1 > lo), nulls lose to any scored row
+        assert (r.keep_id, r.keep_score, r.n_dups) == (2, lo + 1, 3)
+
+    def test_double_scores_unchanged(self, spark):
+        from simpl_schema_spark.dedup import keep_best
+
+        df = spark.createDataFrame(
+            [("u", 1.5, 1), ("u", 2.5, 2), ("u", 2.5, 3)],
+            "url string, score double, doc_id int",
+        )
+        r = keep_best(df, "url", "score", "doc_id").collect()[0]
+        # max score, tie to smallest id
+        assert (r.keep_id, r.keep_score, r.n_dups) == (2, 2.5, 3)
+
+
+class TestRemoveCommonLinesJoinStrategy:
+    def test_no_forced_broadcast_by_default(self, spark):
+        # at min_df=2 on a web corpus the hot-line set is NOT small —
+        # the join strategy must be AQE's call, not a forced hint
+        from simpl_schema_spark.dedup import remove_common_lines
+
+        df = spark.createDataFrame(
+            [(1, "a\nb"), (2, "a\nc")], "doc_id bigint, text string"
+        )
+        out = remove_common_lines(df, min_df=2)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in optimized
+        out.unpersist()
+
+    def test_opt_in_broadcast_still_available(self, spark):
+        from simpl_schema_spark.dedup import remove_common_lines
+
+        df = spark.createDataFrame(
+            [(1, "a\nb"), (2, "a\nc")], "doc_id bigint, text string"
+        )
+        out = remove_common_lines(df, min_df=2, hint_broadcast=True)
+        got = {r.doc_id: (r.text, r.n_removed) for r in out.collect()}
+        assert got == {1: ("b", 1), 2: ("c", 1)}
+        out.unpersist()
+
+    def test_results_identical_either_way(self, spark):
+        from simpl_schema_spark.dedup import remove_common_lines
+
+        df = spark.createDataFrame(
+            [(1, "x\ny\nz"), (2, " x \nw"), (3, "x\nq"), (4, None)],
+            "doc_id bigint, text string",
+        )
+        a = remove_common_lines(df, min_df=3)
+        b = remove_common_lines(df, min_df=3, hint_broadcast=True)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+        a.unpersist(); b.unpersist()
+
+
+class TestPrefixSumNarrowPersist:
+    def test_wide_input_persists_only_narrow_columns(self, spark):
+        # a direct caller on a wide table must not cache the corpus: the
+        # persisted prefix intermediate carries order+value+out cols only
+        from simpl_schema_spark.cache import release_tracked
+        from simpl_schema_spark.packing import prefix_sums
+
+        wide = spark.createDataFrame(
+            [(i, i % 5, "payload" * 50, f"url{i}") for i in range(20)],
+            "id bigint, v bigint, big_text string, url string",
+        )
+        out = prefix_sums(wide, "id", ["v"], ["cum_v"])
+        rows = {r.id: r.cum_v for r in out.collect()}
+        assert rows[0] == 0 and rows[19] == sum(i % 5 for i in range(19))
+        # all original columns survive the join-back
+        assert out.columns == ["id", "v", "big_text", "url", "cum_v"]
+        # the persisted plan (the tracked narrow totals) must not carry
+        # the wide payload columns
+        sc = spark.sparkContext._jsc.sc()
+        infos = sc.getRDDStorageInfo()
+        cached_names = " | ".join(str(i.name()) for i in infos)
+        assert "big_text" not in cached_names
+        released = release_tracked()
+        assert released >= 1
+
+    def test_narrow_input_unchanged(self, spark):
+        from simpl_schema_spark.packing import prefix_sums
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id bigint, v bigint"
+        )
+        out = prefix_sums(df, "id", ["v"], ["c"])
+        assert {r.id: r.c for r in out.collect()} == {1: 0, 2: 10, 3: 30}
+        out.unpersist()
+
+    def test_sequence_chunks_releases_prefix_cache(self, spark):
+        from simpl_schema_spark.packing import sequence_chunks
+
+        df = spark.createDataFrame(
+            [(1, 3), (2, 5), (3, 4)], "id bigint, n bigint"
+        )
+        out = sequence_chunks(df, "id", "n", capacity=4)
+        got = {r.id: (r.tok_start, r.chunk_first, r.chunk_last)
+               for r in out.collect()}
+        assert got == {1: (0, 0, 0), 2: (3, 0, 1), 3: (8, 2, 2)}
+        out.unpersist()
+
+
+class TestStratifiedSampleNullOrdering:
+    def test_null_keys_sort_first_explicit_flag(self, spark):
+        # NULL keys must beat EVERY real key — including ones whose hash
+        # would have collided with the old -1 sentinel
+        from simpl_schema_spark.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [("en", None, 1), ("en", "k1", 2), ("en", "k2", 3)],
+            "lang string, key string, id int",
+        )
+        picked = {r.id for r in stratified_sample(df, "lang", "key", 2).collect()}
+        assert 1 in picked and len(picked) == 2
+
+    def test_item_struct_has_leading_null_flag(self, spark):
+        # pin the shape: comparator orders by (nn, hk, k) with nn the
+        # explicit is-not-null flag, so no hash value can tie a real key
+        # with a NULL key
+        from simpl_schema_spark.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [("en", "a", 1)], "lang string, key string, id int"
+        )
+        plan = (
+            stratified_sample(df, "lang", "key", 1)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert "nn" in plan and "isnotnull" in plan.lower()
+
+
+class TestY4mBitDepthRejection:
+    def test_10bit_tag_rejected_explicitly(self):
+        from simpl_schema_spark.multimodal.y4m import Y4mError, parse_header
+
+        payload = b"YUV4MPEG2 W4 H4 F25:1 C420p10\n" + b"FRAME\n" + b"\x00" * 24
+        with pytest.raises(Y4mError, match="420p10"):
+            parse_header(payload)
+
+    @pytest.mark.parametrize("tag", ["422p12", "444p14", "420p16"])
+    def test_all_depth_suffixes_rejected(self, tag):
+        from simpl_schema_spark.multimodal.y4m import Y4mError, parse_header
+
+        payload = f"YUV4MPEG2 W4 H4 F25:1 C{tag}\n".encode()
+        with pytest.raises(Y4mError, match="8-bit"):
+            parse_header(payload)
+
+    def test_8bit_tags_still_parse(self):
+        from simpl_schema_spark.multimodal.y4m import parse_header
+
+        info = parse_header(b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\nFRAME\n" + b"\x00" * 12)
+        assert info.frame_size == 12
+
+
+class TestMediaOnErrorPolicy:
+    def test_video_skip_drops_bad_payload(self, spark):
+        from simpl_schema_spark.multimodal.media import sample_video_frames
+
+        good = (
+            b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\n"
+            + (b"FRAME\n" + bytes([10, 20, 30, 40, 1, 2])) * 2
+        )
+        bad = b"\x00\x00\x00\x18ftypmp42 garbage"
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(bad))],
+            "id bigint, payload binary",
+        )
+        rows = sample_video_frames(
+            df, use_stub=False, n_frames=2, on_error="skip"
+        ).collect()
+        assert {r.id for r in rows} == {1}
+
+    def test_video_raise_still_default(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        from simpl_schema_spark.multimodal.media import sample_video_frames
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a video"))], "id bigint, payload binary"
+        )
+        with pytest.raises((PythonException, Py4JJavaError)):
+            sample_video_frames(df, use_stub=False).collect()
+
+    def test_image_skip_drops_bad_payload(self, spark):
+        from simpl_schema_spark.multimodal.media import decode_image_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xffnot-a-real-jpeg")), (2, None)],
+            "id bigint, payload binary",
+        )
+        rows = decode_image_features(
+            df, use_stub=False, on_error="skip"
+        ).collect()
+        # row 2 (NULL payload) keeps its zero-feature row; row 1 decode
+        # fails and is skipped — unless pillow decodes truncated jpegs,
+        # in which case both survive; either way no job abort
+        assert 2 in {r.id for r in rows}
+
+    def test_audio_skip_drops_bad_payload(self, spark):
+        import io
+        import wave
+
+        from simpl_schema_spark.multimodal.media import decode_audio_features
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(b"\x00\x01" * 100)
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue())), (2, bytearray(b"mp3junk"))],
+            "id bigint, payload binary",
+        )
+        rows = decode_audio_features(
+            df, use_stub=False, on_error="skip"
+        ).collect()
+        assert {r.id for r in rows} == {1}
+        assert rows[0].sample_rate == 8000
+
+    def test_invalid_on_error_rejected(self, spark):
+        from simpl_schema_spark.multimodal.media import decode_image_features
+
+        df = spark.createDataFrame([(1, None)], "id bigint, payload binary")
+        with pytest.raises(ValueError, match="on_error"):
+            decode_image_features(df, on_error="ignore")
