@@ -268,20 +268,26 @@ def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (seeded hashes — rows-only check)."""
+    """MinHash+LSH near-dup pairs — run with the engine-portable md5
+    multiply-add permutation family so the DuckDB oracle replays the
+    WHOLE pipeline (shingle → signature → band buckets → verified pairs)
+    bit-for-bit.  Production default stays xxhash64 (cheaper)."""
     from simpl_schema_spark.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(
-        _docs_with_dups(spark, sf_dir), threshold=0.7
+        _docs_with_dups(spark, sf_dir), threshold=0.7, hash_family="md5"
     ).orderBy("id_a", "id_b")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (seeded hashes — rows-only check)."""
+    """SimHash near-dup pairs — portable md5 token hash so the DuckDB
+    oracle replays fingerprints, chunk buckets, and verified pairs
+    bit-for-bit (SimHash itself is pure integer arithmetic).  Production
+    default stays xxhash64."""
     from simpl_schema_spark.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(
-        _docs_with_dups(spark, sf_dir), max_hamming=3
+        _docs_with_dups(spark, sf_dir), max_hamming=3, hash_family="md5"
     ).orderBy("id_a", "id_b")
 
 
@@ -934,9 +940,222 @@ def _fix_encoding_oracle_sql() -> str:
         """
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB replication of text.analysis.lang_id — generated from the
+    SAME stopword profiles so the two can't drift.  Every step mirrors the
+    Spark expression: lowercase whitespace tokens (empties dropped),
+    hits/n_tok per language as IEEE double division, lexicographic max of
+    (score, lang) structs (ties -> greatest lang string, matching Spark's
+    array_max), CJK codepoint ratio > 0.3 -> 'zh', best score >= 0.05 ->
+    its lang, else 'und'."""
+    from simpl_schema_spark.text.analysis import _LANG_STOPWORDS
+
+    structs = ",\n      ".join(
+        "struct_pack(score := len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], t))) / n_tok, lang := '{lang}')"
+        for lang, words in _LANG_STOPWORDS.items()
+    )
+    return f"""
+        with base as (
+          select doc_id,
+                 text,
+                 list_filter(
+                   regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                   t -> t <> '') as toks
+            from documents
+        ), scored as (
+          select doc_id, text, toks,
+                 greatest(len(toks), 1) as n_tok,
+                 length(coalesce(text, '')) as n_chars,
+                 length(regexp_replace(coalesce(text, ''),
+                   '[^\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}]',
+                   '', 'g')) as n_cjk
+            from base
+        ), best as (
+          select doc_id, text, n_chars, n_cjk,
+                 list_max([
+      {structs}
+                 ]) as b
+            from scored
+        )
+        select doc_id,
+               case
+                 when text is null then 'und'
+                 when n_chars > 0 and n_cjk / n_chars > 0.3 then 'zh'
+                 when b.score >= 0.05 then b.lang
+                 else 'und'
+               end as lang_pred
+          from best
+    """
+
+
+def _minhash_oracle(
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> str:
+    """DuckDB replay of the FULL md5-family minhash pipeline — generated
+    from the same md5_permutation_family coefficients as the Spark
+    operator (dedup/minhash.py), so signature, band bucketing (incl. the
+    2..max_bucket_size bound applied before collection), candidate pairs,
+    and the jaccard_est verification are all bit-identical."""
+    from simpl_schema_spark.dedup.minhash import (
+        MERSENNE61,
+        md5_permutation_family,
+    )
+
+    a, b = md5_permutation_family(num_perm)
+    rpb = num_perm // bands
+    sig_mins = ",\n        ".join(
+        f"min(({a[p]}::HUGEINT * h + {b[p]}) % {MERSENNE61})::BIGINT"
+        for p in range(num_perm)
+    )
+    band_rows = "\n          union all\n".join(
+        f"""          select id, {bi} as band_idx,
+            ('0x' || substring(md5('{bi}_' ||
+              array_to_string(sig[{bi * rpb + 1}:{(bi + 1) * rpb}], '_')),
+              1, 15))::UBIGINT::BIGINT as band_hash
+          from sigs"""
+        for bi in range(bands)
+    )
+    return f"""
+        with corpus as (
+          select doc_id as id, text from documents where text is not null
+          union all
+          select doc_id + 10000, text from documents
+           where doc_id < 20 and text is not null
+        ), norm as (
+          select id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\\p{{L}}\\p{{N}} ]', ' ', 'g'), '\\s+', ' ', 'g')) as t
+            from corpus
+        ), tokd as (
+          select id,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             x -> x <> '') as toks
+            from norm
+        ), shingled as (
+          select id,
+                 list_distinct(case
+                   when len(toks) >= {k} then
+                     list_transform(range(1, len(toks) - {k} + 2),
+                       j -> array_to_string(toks[j:j+{k - 1}], ' '))
+                   when len(toks) > 0 then [array_to_string(toks, ' ')]
+                   else [] end) as sh
+            from tokd
+        ), hashes as (
+          select id,
+                 ('0x' || substring(md5(s), 1, 15))::UBIGINT::BIGINT as h
+            from shingled, unnest(sh) as t(s)
+        ), sigs as (
+          select id, [
+        {sig_mins}
+          ] as sig
+            from hashes group by id
+        ), bandtbl as (
+{band_rows}
+        ), kept as (
+          select band_idx, band_hash from bandtbl
+           group by 1, 2 having count(*) between 2 and {max_bucket}
+        ), cands as (
+          select distinct x.id as id_a, y.id as id_b
+            from bandtbl x
+            join bandtbl y using (band_idx, band_hash)
+            join kept using (band_idx, band_hash)
+           where x.id < y.id
+        )
+        select c.id_a, c.id_b,
+               len(list_filter(range(1, {num_perm + 1}),
+                   i -> sa.sig[i] = sb.sig[i]))::DOUBLE / {num_perm}
+                 as jaccard_est
+          from cands c
+          join sigs sa on sa.id = c.id_a
+          join sigs sb on sb.id = c.id_b
+         where len(list_filter(range(1, {num_perm + 1}),
+                   i -> sa.sig[i] = sb.sig[i]))::DOUBLE / {num_perm}
+               >= {threshold}
+    """
+
+
+def _simhash_oracle(
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 500,
+) -> str:
+    """DuckDB replay of the md5-family simhash pipeline (dedup/simhash.py):
+    per-token full-64-bit md5 hash (UNSIGNED here — same bit pattern as
+    Spark's two's-complement signed long), per-bit majority vote with the
+    strict 2·ones > n rule, 16-bit chunk bucketing with the 2..max bound,
+    and bit_count-verified pairs."""
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    counts = ",\n          ".join(
+        f"sum((h >> {b}) & 1) as c{b}" for b in range(64)
+    )
+    word = " + ".join(
+        f"(case when 2*c{b} > n then {1 << b}::UBIGINT else 0::UBIGINT end)"
+        for b in range(64)
+    )
+    chunk_rows = "\n          union all\n".join(
+        f"""          select id, w, {c} as chunk_idx,
+            ((w >> {c * chunk_bits}) & {mask})::BIGINT as chunk_val
+          from words"""
+        for c in range(bands)
+    )
+    return f"""
+        with corpus as (
+          select doc_id as id, text from documents where text is not null
+          union all
+          select doc_id + 10000, text from documents
+           where doc_id < 20 and text is not null
+        ), norm as (
+          select id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\\p{{L}}\\p{{N}} ]', ' ', 'g'), '\\s+', ' ', 'g')) as t
+            from corpus
+        ), tokd as (
+          select id,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             x -> x <> '') as toks
+            from norm
+        ), hashes as (
+          select id,
+                 ('0x' || substring(md5(tok), 1, 16))::UBIGINT as h
+            from tokd, unnest(toks) as u(tok)
+        ), bitcounts as (
+          select id, count(*) as n,
+          {counts}
+            from hashes group by id
+        ), words as (
+          select id, {word} as w
+            from bitcounts
+        ), chunked as (
+{chunk_rows}
+        ), kept as (
+          select chunk_idx, chunk_val from chunked
+           group by 1, 2 having count(*) between 2 and {max_bucket}
+        )
+        select distinct x.id as id_a, y.id as id_b,
+               bit_count(xor(x.w, y.w))::INTEGER as hamming
+          from chunked x
+          join chunked y using (chunk_idx, chunk_val)
+          join kept using (chunk_idx, chunk_val)
+         where x.id < y.id
+           and bit_count(xor(x.w, y.w)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     langs = ", ".join(f"'{l}'" for l in _ALLOWED_LANGS)
     return {
+        "lang_id": _lang_id_oracle(),
+        "minhash_near_dups": _minhash_oracle(),
+        "simhash_near_dups": _simhash_oracle(),
         "validate_modifiers": f"""
             select doc_id, 'lang' as name, 'notAllowed' as type, lang as value
               from documents where lang not in ({langs})

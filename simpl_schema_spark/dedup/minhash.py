@@ -33,11 +33,57 @@ from .buckets import bounded_buckets
 
 __all__ = [
     "shingles",
+    "md5_permutation_family",
     "minhash_signature",
     "minhash_signature_udf",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
 ]
+
+#: Mersenne prime 2^61-1 — modulus of the portable multiply-add family
+MERSENNE61 = (1 << 61) - 1
+
+
+def md5_permutation_family(num_perm: int, seed: int = 7):
+    """Deterministic ``(a_p, b_p)`` coefficients for the PORTABLE
+    multiply-add permutation family ``v_p = (a_p·h + b_p) mod 2^61-1``.
+
+    Derived from a seeded PRNG so any engine (the DuckDB oracle included)
+    regenerates the identical family from ``(num_perm, seed)``.  ``a_p``
+    stays under 2^30 so ``a_p·h`` (h < 2^60) fits Spark's decimal(30,0)
+    exactly — the ANSI-safe stand-in for the wrapping 64-bit arithmetic
+    the textbook family would need (COVERAGE.md backlog item, closed by
+    this modular variant).
+    """
+    import random
+
+    rng = random.Random(f"simpl-minhash-{num_perm}-{seed}")
+    a = [rng.randrange(1, 1 << 30) for _ in range(num_perm)]
+    b = [rng.randrange(0, MERSENNE61) for _ in range(num_perm)]
+    return a, b
+
+
+def md5_long60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a bigint.
+    DuckDB spells it ``('0x' || substring(md5(x), 1, 15))::ubigint``;
+    15 hex digits keep the value under 2^60, inside a signed long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long64(col: Column) -> Column:
+    """Portable FULL-64-bit hash as a signed bigint: first 16 hex chars
+    of md5, two's-complement-wrapped through exact decimal arithmetic
+    (``conv`` yields the unsigned value as a string; values ≥ 2^63 would
+    overflow a direct long cast under ANSI).  Bit pattern matches DuckDB's
+    ``('0x' || substring(md5(x), 1, 16))::ubigint`` — bitwise consumers
+    (simhash) see identical bits either way."""
+    u = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+    two_pow_64 = F.expr(f"CAST({1 << 64} AS DECIMAL(21,0))")
+    return (
+        F.when(u > F.lit((1 << 63) - 1), u - two_pow_64)
+        .otherwise(u)
+        .cast("long")
+    )
 
 # XXH64 primes — public algorithm constants (xxHash spec); used to
 # replicate Spark's XxHash64 on longs bit-exactly in numpy
@@ -99,7 +145,11 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(
-    shingle_col: Column, num_perm: int = 64, seed: int = 7
+    shingle_col: Column,
+    num_perm: int = 64,
+    seed: int = 7,
+    *,
+    hash_family: str = "xxhash64",
 ) -> Column:
     """P-element minhash signature (array<bigint>); NULL-safe on empty sets.
 
@@ -117,9 +167,49 @@ def minhash_signature(
     permutation seed, collapsing all P positions to ONE permutation.
     Signatures are now genuinely P independent permutations (Jaccard
     estimates take graded values instead of only 0/1).
+
+    ``hash_family='md5'`` switches to the ENGINE-PORTABLE variant: shingle
+    hash = :func:`md5_long60`, permutations = the multiply-add family from
+    :func:`md5_permutation_family` in exact decimal arithmetic.  Same
+    statistical properties; a DuckDB oracle reproduces it bit-for-bit
+    (xxhash64 has no DuckDB equivalent).  Default stays xxhash64 — it is
+    ~2x cheaper and the right choice when no cross-engine parity is
+    needed.
     """
-    perm_idx = F.sequence(F.lit(seed), F.lit(seed + num_perm - 1))
     max_long = (1 << 63) - 1
+    if hash_family == "md5":
+        a, b = md5_permutation_family(num_perm, seed)
+        a_arr = F.array(*[F.lit(x).cast("decimal(10,0)") for x in a])
+        b_arr = F.array(*[F.lit(x).cast("decimal(20,0)") for x in b])
+        m = F.lit(MERSENNE61).cast("decimal(19,0)")
+        idx = F.sequence(F.lit(1), F.lit(num_perm))
+        hashes = F.transform(shingle_col, md5_long60)
+        sig = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(max_long).cast("long"), num_perm),
+            lambda acc, h: F.zip_with(
+                acc,
+                # a·h fits decimal(30,0) (a<2^30, h<2^60) — exact, no ANSI
+                # overflow; mod the Mersenne prime lands back under 2^61
+                F.transform(
+                    idx,
+                    lambda i: (
+                        (
+                            F.element_at(a_arr, i) * h.cast("decimal(19,0)")
+                            + F.element_at(b_arr, i)
+                        )
+                        % m
+                    ).cast("long"),
+                ),
+                lambda cur, v: F.least(cur, v),
+            ),
+        )
+        return F.when(F.size(shingle_col) > 0, sig)
+    if hash_family != "xxhash64":
+        raise ValueError(
+            f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
+        )
+    perm_idx = F.sequence(F.lit(seed), F.lit(seed + num_perm - 1))
     hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
     sig = F.aggregate(
         hashes,
@@ -175,17 +265,32 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int = 200,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate id pairs sharing ≥1 LSH band. Output: (id_a, id_b) distinct,
-    id_a < id_b."""
+    id_a < id_b.  ``hash_family='md5'`` buckets on the portable
+    :func:`md5_long60` of the band's value string (``'<band>_<v1>_..._<vR>'``)
+    so an external oracle reproduces the exact bucketing."""
+
+    def band_hash(b: int) -> Column:
+        band_vals = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+        if hash_family == "md5":
+            return md5_long60(
+                F.concat_ws(
+                    "_",
+                    F.lit(str(b)),
+                    F.array_join(
+                        F.transform(band_vals, lambda v: v.cast("string")), "_"
+                    ),
+                )
+            )
+        return F.xxhash64(band_vals, F.lit(b))
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
-                    F.lit(b),
-                ).alias("band_hash"),
+                band_hash(b).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -230,11 +335,14 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket_size: int = 200,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pairs: ``(id_a, id_b, jaccard_est)``.
 
     jaccard_est = fraction of agreeing minhash positions (unbiased estimator
-    of true Jaccard).
+    of true Jaccard).  ``hash_family='md5'`` runs the engine-portable
+    variant end to end (see :func:`minhash_signature`) — same pipeline
+    shape, reproducible in external SQL engines.
     """
     rows_per_band = num_perm // bands
     # Materialize the shingle set BEFORE the signature projection: the
@@ -253,7 +361,10 @@ def minhash_near_duplicates(
     )
     sets.count()
     sigs = sets.select(
-        "id", minhash_signature(F.col("sh"), num_perm).alias("sig")
+        "id",
+        minhash_signature(
+            F.col("sh"), num_perm, hash_family=hash_family
+        ).alias("sig"),
     ).where(F.col("sig").isNotNull())
     # signatures are consumed four times (bucket count + collect + both
     # verify sides): persist AND materialize eagerly — independent stages of
@@ -266,6 +377,7 @@ def minhash_near_duplicates(
     pairs = lsh_candidate_pairs(
         sigs, "id", "sig",
         bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size,
+        hash_family=hash_family,
     )
     a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))

@@ -24,15 +24,33 @@ __all__ = ["simhash", "simhash_from_hashes", "hamming_distance", "simhash_near_d
 _BITS = 64
 
 
-def simhash(text: Column) -> Column:
+def _token_hash(hash_family: str):
+    if hash_family == "md5":
+        from .minhash import md5_long64
+
+        return md5_long64
+    if hash_family != "xxhash64":
+        raise ValueError(
+            f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
+        )
+    return F.xxhash64
+
+
+def simhash(text: Column, *, hash_family: str = "xxhash64") -> Column:
     """64-bit SimHash of whitespace tokens of normalized text (bigint).
 
     NOTE: references its input 129 times (2 per bit + size); call via
     :func:`simhash_near_duplicates`-style two-phase selects so the token
     hash array is materialized once per row, not recomputed per bit.
+
+    SimHash is pure integer arithmetic — the only engine-specific piece
+    is the token hash, so ``hash_family='md5'`` (portable full-64-bit md5,
+    :func:`..minhash.md5_long64`) makes the whole fingerprint
+    reproducible in external SQL engines.  Default stays xxhash64.
     """
+    th = _token_hash(hash_family)
     return simhash_from_hashes(
-        F.transform(word_tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+        F.transform(word_tokens(normalized_text(text)), lambda t: th(t))
     )
 
 
@@ -87,14 +105,19 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 500,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs ``(id_a, id_b, hamming)`` with hamming ≤ max_hamming.
 
     With bands=4, any pair within Hamming distance 3 shares at least one
     16-bit chunk (pigeonhole), so recall is exact for max_hamming < bands.
+    ``hash_family='md5'`` uses the portable token hash (see
+    :func:`simhash`) so an external oracle replays fingerprints, chunk
+    buckets, and pairs exactly.
     """
     chunk_bits = _BITS // bands
     mask = (1 << chunk_bits) - 1
+    th = _token_hash(hash_family)
     # materialize token hashes BEFORE the fingerprint projection: the
     # fingerprint references `th` twice (size + aggregate) and fusing it
     # with the tokenize pipeline re-evaluates the text processing per
@@ -104,7 +127,7 @@ def simhash_near_duplicates(
         .select(
             F.col(id_col).alias("id"),
             F.transform(
-                word_tokens(normalized_text(F.col(text_col))), lambda t: F.xxhash64(t)
+                word_tokens(normalized_text(F.col(text_col))), lambda t: th(t)
             ).alias("th"),
         )
         .persist()

@@ -247,3 +247,79 @@ class TestMediaOnErrorPolicy:
         df = spark.createDataFrame([(1, None)], "id bigint, payload binary")
         with pytest.raises(ValueError, match="on_error"):
             decode_image_features(df, on_error="ignore")
+
+
+class TestPortableHashFamilies:
+    """md5-family minhash/simhash — the engine-portable variants behind the
+    hash-gated contract oracles (dedup/minhash.py, dedup/simhash.py)."""
+
+    def test_md5_long64_matches_hashlib(self, spark):
+        import hashlib
+
+        from simpl_schema_spark.dedup.minhash import md5_long64
+
+        vals = ["alpha", "beta", "needs-sign-wrap", "x" * 50]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {r.s: r.h for r in df.select("s", md5_long64(F.col("s")).alias("h")).collect()}
+        saw_negative = False
+        for v in vals:
+            u = int(hashlib.md5(v.encode()).hexdigest()[:16], 16)
+            want = u - (1 << 64) if u >= (1 << 63) else u
+            assert got[v] == want
+            saw_negative = saw_negative or want < 0
+        # the sample must actually exercise the two's-complement wrap
+        assert saw_negative
+
+    def test_md5_permutation_family_deterministic(self):
+        from simpl_schema_spark.dedup.minhash import (
+            MERSENNE61, md5_permutation_family,
+        )
+
+        a1, b1 = md5_permutation_family(64)
+        a2, b2 = md5_permutation_family(64)
+        assert (a1, b1) == (a2, b2)
+        assert all(1 <= x < (1 << 30) for x in a1)
+        assert all(0 <= x < MERSENNE61 for x in b1)
+        # different seeds -> different family
+        assert md5_permutation_family(64, seed=8)[0] != a1
+
+    def test_minhash_md5_family_finds_exact_dups(self, spark):
+        from simpl_schema_spark.dedup import minhash_near_duplicates
+
+        texts = [
+            (i, f"doc number {i} with its own distinct words "
+                f"{'padding words here ' * 5}{i}")
+            for i in range(12)
+        ]
+        texts.append((100, texts[0][1]))  # exact copy of doc 0
+        df = spark.createDataFrame(texts, "doc_id bigint, text string")
+        out = minhash_near_duplicates(df, threshold=0.9, hash_family="md5")
+        pairs = {(r.id_a, r.id_b): r.jaccard_est for r in out.collect()}
+        assert pairs.get((0, 100)) == 1.0
+        out.unpersist()
+
+    def test_simhash_md5_family_finds_exact_dups(self, spark):
+        from simpl_schema_spark.dedup import simhash_near_duplicates
+
+        texts = [
+            (i, f"document {i} talks about entirely different topic "
+                f"{'filler ' * 8}{i}")
+            for i in range(12)
+        ]
+        texts.append((100, texts[3][1]))
+        df = spark.createDataFrame(texts, "doc_id bigint, text string")
+        out = simhash_near_duplicates(df, max_hamming=3, hash_family="md5")
+        pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+        assert pairs.get((3, 100)) == 0
+        out.unpersist()
+
+    def test_invalid_family_rejected(self, spark):
+        import pytest as _pytest
+
+        from simpl_schema_spark.dedup.minhash import minhash_signature
+        from simpl_schema_spark.dedup.simhash import simhash
+
+        with _pytest.raises(ValueError, match="hash_family"):
+            minhash_signature(F.col("x"), hash_family="sha1")
+        with _pytest.raises(ValueError, match="hash_family"):
+            simhash(F.col("x"), hash_family="sha1")
