@@ -323,3 +323,120 @@ class TestPortableHashFamilies:
             minhash_signature(F.col("x"), hash_family="sha1")
         with _pytest.raises(ValueError, match="hash_family"):
             simhash(F.col("x"), hash_family="sha1")
+
+
+class TestStreamingLateData:
+    """Watermark semantics under out-of-order arrival — the failure mode
+    real streams hit first.  Each parquet file is one micro-batch
+    (maxFilesPerTrigger=1, ordered by mtime); append mode emits a window
+    only once the watermark passes its end, and a too-late event is
+    DROPPED, not re-aggregated.
+
+    Timing detail (SPARK-40925, Spark >= 3.4): late-record FILTERING in
+    batch N uses the watermark of batch N-1, while state EVICTION uses
+    the watermark computed at batch N's start.  So an event landing in
+    the very next batch after the watermark crossed its window is still
+    merged (and emitted with it); only events arriving >= 2 batches after
+    the watermark-advancing event are dropped.  The fixtures below place
+    the too-late row two batches after the advancing event."""
+
+    @staticmethod
+    def _write_batch(spark, path, rows, ddl):
+        import time as _time
+
+        spark.createDataFrame(rows, ddl).repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    def _run_stream(self, spark, src, build, name):
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(f"select * from {name}").collect()
+
+    def test_pii_rates_drop_beyond_watermark(self, spark, tmp_path):
+        import datetime
+
+        from simpl_schema_spark.streaming import streaming_pii_rates
+
+        src = str(tmp_path / "pii_late")
+        ddl = "doc_id long, warc_ts timestamp, text string"
+        ts = lambda h, m=0: datetime.datetime(2026, 1, 1, h, m)  # noqa: E731
+        # batch 1: window [0,1) gets one emailed doc; the 06:00 event
+        # will advance the eviction watermark to 04:00 for batch 2
+        self._write_batch(spark, src, [
+            (1, ts(0, 30), "mail a@b.com"),
+            (2, ts(6, 0), "clean"),
+        ], ddl)
+        # batch 2: eviction watermark 04:00 finalizes+emits [0,1) with
+        # ONLY doc 1; the 12:00 event moves the next watermark to 10:00
+        self._write_batch(spark, src, [(5, ts(12, 0), "clean")], ddl)
+        # batch 3: late-filter watermark is now 04:00 — doc 3 (00:45) is
+        # beyond it -> dropped entirely; doc 4 (05:30) is late-but-inside
+        # -> lands in [5,6), which eviction (10:00) then emits
+        self._write_batch(spark, src, [
+            (3, ts(0, 45), "late x@y.com"),
+            (4, ts(5, 30), "ok c@d.com"),
+            (6, ts(20, 0), "clean"),
+        ], ddl)
+
+        rows = self._run_stream(
+            spark, src,
+            lambda s: streaming_pii_rates(s, window_duration="1 hour"),
+            "pii_late",
+        )
+        by_start = {r.window.start.hour: r for r in rows}
+        # the too-late doc 3 appears NOWHERE: [0,1) keeps batch-1 counts
+        assert by_start[0].n_docs == 1
+        assert by_start[0].docs_email == 1
+        assert by_start[0].matches_email == 1
+        # the within-horizon late doc 4 IS counted
+        assert by_start[5].n_docs == 1
+        assert by_start[5].docs_email == 1
+        total_docs = sum(r.n_docs for r in rows)
+        total_emails = sum(r.matches_email for r in rows)
+        assert total_emails == 2  # doc 3's email never lands
+        assert total_docs <= 5    # doc 3 in no window
+
+    def test_category_counts_drop_beyond_watermark(self, spark, tmp_path):
+        import datetime
+
+        from simpl_schema_spark.streaming import streaming_category_counts
+
+        src = str(tmp_path / "cat_late")
+        ddl = "doc_id long, warc_ts timestamp, lang string"
+        ts = lambda h, m=0: datetime.datetime(2026, 1, 1, h, m)  # noqa: E731
+        self._write_batch(spark, src, [
+            (1, ts(0, 10), "en"),
+            (2, ts(0, 20), "de"),
+            (3, ts(6, 0), "en"),
+        ], ddl)
+        # batch 2 evicts+emits [0,1) (watermark 04:00) and advances the
+        # next watermark to 10:00
+        self._write_batch(spark, src, [(5, ts(12, 0), "en")], ddl)
+        # batch 3: 'fr' at 00:50 is beyond the late-filter watermark
+        # (04:00): dropped — the drift profile for [0,1) must NOT change
+        self._write_batch(spark, src, [
+            (4, ts(0, 50), "fr"),
+            (6, ts(20, 0), "en"),
+        ], ddl)
+
+        rows = self._run_stream(
+            spark, src,
+            lambda s: streaming_category_counts(s, "lang",
+                                                window_duration="1 hour"),
+            "cat_late",
+        )
+        w0 = {r.category: r.cnt for r in rows if r.window.start.hour == 0}
+        assert w0 == {"en": 1, "de": 1}  # no 'fr' — late row dropped
