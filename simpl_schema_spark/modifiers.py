@@ -898,24 +898,34 @@ def clean_modifier_table(
     auto_convert: bool = True,
     trim_strings: bool = True,
     remove_empty_strings: bool = True,
+    remove_nulls_from_arrays: bool = False,
     get_auto_values: bool = True,
 ) -> DataFrame:
     """clean() for modifier tables (reference clean.ts:64-147,175-187).
 
     Per-row, one projection:
 
-    - ops whose values are never cleaned ($unset/$rename/$pull/$pop/…) pass
-      through untouched (operatorsToIgnoreValue, clean.ts:46-49)
+    - ops whose values are never cleaned ($unset/$currentDate, plus
+      $rename/$slice by engine choice) pass through untouched
+      (operatorsToIgnoreValue, clean.ts:11,69)
     - filter: rows whose generic key the schema doesn't allow are DROPPED
       (clean.ts:80-94); $unset/$rename rows are kept regardless
     - autoConvert: JSON scalars coerced toward the key's first type when no
       alternative matches (string→number, number/bool→string,
-      'true'/'false'→bool; convertToProperType.ts:11-65)
+      'true'/'false'→bool; convertToProperType.ts:11-65).  For array keys
+      with a declared item def, values under $push/$addToSet (direct and
+      ``$each``), $pull, $pop, $pullAll, and array-valued $set are cleaned
+      toward the ITEM def (mongo-object maps those nodes to ``key.$`` —
+      goldens clean.tests.ts:380-630,706-820), $pull query objects pass
+      through, and a scalar $set on an array key is wrapped ``[v]``
+      (convertToProperType.ts:61)
     - trimStrings: JS-whitespace trim inside JSON string values unless the
-      key has ``trim: False``
+      key has ``trim: False`` (item values use the item def's flag)
+    - removeNullsFromArrays: null elements dropped from cleaned arrays
+      (clean.ts:81-83, default off, matching the reference)
     - removeEmptyStrings: ``$set`` of ``""`` becomes ``$unset``
-      (clean.ts:136-142); empty strings under other value-checked ops are
-      dropped rows (doc-mode remove analog)
+      (clean.ts:126-142); other operators keep empty strings, as the
+      reference only applies this inside docs and ``$set``
     - getAutoValues: for upsert documents, every defaultValue key not
       referenced by any operator gains a ``$setOnInsert`` row
       (getDefaultAutoValueFunction, SimpleSchema.ts:1148-1167; tested by
@@ -932,7 +942,14 @@ def clean_modifier_table(
     generic = _generic_key(key_path)
     v = F.col("value")
 
-    ignore_value_ops = op.isin("$unset", "$rename", *OPS_SKIPPED)
+    # reference operatorsToIgnoreValue = ['$unset', '$currentDate']
+    # (clean.ts:11,69) — $pull/$pullAll/$pop values ARE cleaned toward the
+    # item definition (their nodes map to `key.0` → generic `key.$` via
+    # mongo-object's appendAffectedKey; goldens: clean.tests.ts $pull/$pop/
+    # $pullAll "type conversion works" + the trim sweep at :706).  $rename
+    # stays skipped here: its value is a target KEY NAME, and trimming it
+    # like a data value is reference behavior we deliberately don't copy.
+    ignore_value_ops = op.isin("$unset", "$rename", "$currentDate", "$slice")
 
     # ---- filter unknown keys (keep $unset/$rename) --------------------------
     if filter:
@@ -1030,6 +1047,61 @@ def clean_modifier_table(
             rebuilt,
         ).otherwise(token)
 
+    # ---- array-item value cleaning helpers ----------------------------------
+    # element tokens come out of a variant parse (exact JSON round-trip,
+    # heterogeneous element types preserved); cleaning runs per element
+    # inside the transform lambda as pure Catalyst expressions
+    def _cleaned_elements(item_key: str, elems: Column) -> Column:
+        out_elems = F.transform(
+            elems,
+            lambda e: F.coalesce(clean_token(item_key, e), F.lit("null")),
+        )
+        if remove_nulls_from_arrays:
+            out_elems = F.filter(out_elems, lambda e: e != F.lit("null"))
+        return out_elems
+
+    def _clean_array_value(item_key: str, token: Column) -> Column:
+        elems = F.transform(
+            F.try_variant_get(F.try_parse_json(token), "$", "array<variant>"),
+            lambda e: F.to_json(e),
+        )
+        rebuilt = F.concat(
+            F.lit("["),
+            F.concat_ws(", ", _cleaned_elements(item_key, elems)),
+            F.lit("]"),
+        )
+        return F.when(elems.isNotNull(), rebuilt).otherwise(token)
+
+    def _clean_each_value(item_key: str, token: Column) -> Column:
+        var = F.try_parse_json(token)
+        elems = F.transform(
+            F.try_variant_get(var, "$['$each']", "array<variant>"),
+            lambda e: F.to_json(e),
+        )
+        frags = [
+            F.concat(
+                F.lit('"$each": ['),
+                F.concat_ws(", ", _cleaned_elements(item_key, elems)),
+                F.lit("]"),
+            )
+        ]
+        # $push sub-operators riding alongside $each survive the rebuild
+        for sub in ("$slice", "$position", "$sort"):
+            sv = F.to_json(F.try_variant_get(var, f"$['{sub}']", "variant"))
+            frags.append(
+                F.when(sv.isNotNull(), F.concat(F.lit(f'"{sub}": '), sv))
+            )
+        rebuilt = F.concat(
+            F.lit("{"),
+            F.concat_ws(", ", F.array_compact(F.array(*frags))),
+            F.lit("}"),
+        )
+        return F.when(elems.isNotNull(), rebuilt).otherwise(token)
+
+    is_arr_tok = v.rlike(r"^\s*\[")
+    is_obj_tok = v.rlike(r"^\s*\{")
+    is_each_tok = v.rlike(r'^\s*\{\s*"\$each"')
+
     cleaned = v
     object_keys = []
     for k in comp.merged:
@@ -1043,6 +1115,52 @@ def clean_modifier_table(
             for a in alts
         ):
             object_keys.append(k)
+            continue
+        item_key = f"{k}.$"
+        if item_key in comp.merged:
+            item_alts = comp._alternatives(item_key)
+            if any(
+                a.get("blackbox") is True or a.get("type") is AnyType
+                for a in item_alts
+            ):
+                continue
+            scalar_item = clean_token(item_key, v)
+            per_op = (
+                F.when(
+                    op.isin(*OPS_PUSH) & is_each_tok,
+                    _clean_each_value(item_key, v),
+                )
+                .when(
+                    op.isin(*OPS_PUSH) & ~is_obj_tok & ~is_arr_tok, scalar_item
+                )
+                # $pull/$pop scalars clean toward the item def; $pull match
+                # queries and plain-object items pass through untouched
+                # (convertToProperType.ts:13-20 early-returns objects)
+                .when(
+                    op.isin("$pull", "$pop") & ~is_obj_tok & ~is_arr_tok,
+                    scalar_item,
+                )
+                .when(
+                    (op == F.lit("$pullAll")) & is_arr_tok,
+                    _clean_array_value(item_key, v),
+                )
+                .when(
+                    op.isin(*OPS_SET) & is_arr_tok,
+                    _clean_array_value(item_key, v),
+                )
+            )
+            if auto_convert:
+                # scalar $set on an array key wraps the RAW token — the
+                # reference wraps during autoConvert and never revisits the
+                # new element node (convertToProperType.ts:61)
+                per_op = per_op.when(
+                    op.isin(*OPS_SET)
+                    & ~is_arr_tok
+                    & ~_is_json_null(v)
+                    & (~is_obj_tok | _is_ext_date(v)),
+                    F.concat(F.lit("["), v, F.lit("]")),
+                )
+            cleaned = F.when(generic == k, per_op.otherwise(v)).otherwise(cleaned)
             continue
         cleaned = F.when(generic == k, clean_token(k, v)).otherwise(cleaned)
     # object-valued $set: clean inside the value (declared children only —
@@ -1061,16 +1179,14 @@ def clean_modifier_table(
 
     if remove_empty_strings:
         is_empty_str = F.regexp_replace(F.col("value"), "\\s", "") == F.lit('""')
-        # $set '' → $unset (clean.ts:136-142); other checked ops: drop row
+        # $set '' → $unset (clean.ts:126-142); the reference applies
+        # removeEmptyStrings only inside docs and $set, so empty strings
+        # under every other operator are kept as-is
         out = out.withColumn(
             "op",
             F.when((F.col("op") == "$set") & is_empty_str, F.lit("$unset")).otherwise(
                 F.col("op")
             ),
-        ).where(
-            ignore_value_ops
-            | (F.col("op") == "$unset")
-            | ~is_empty_str
         )
 
     if get_auto_values:

@@ -295,9 +295,16 @@ class TestCleanModifiers:
         got = self._clean(spark, [(1, "$unset", "anything", '"  x  "', False)])
         assert got == [(1, "$unset", "anything", '"  x  "')]
 
-    def test_pull_values_not_cleaned(self, spark):
+    def test_pull_values_cleaned_toward_item_def(self, spark):
+        # reference operatorsToIgnoreValue is only $unset/$currentDate
+        # (clean.ts:11) — $pull scalars ARE trimmed/converted toward the
+        # item def (clean.tests.ts:706 trim sweep)
         got = self._clean(spark, [(1, "$pull", "tags", '"  raw  "', False)])
-        assert got == [(1, "$pull", "tags", '"  raw  "')]
+        assert got == [(1, "$pull", "tags", '"raw"')]
+
+    def test_pull_query_objects_untouched(self, spark):
+        got = self._clean(spark, [(1, "$pull", "tags", '{"$in": ["  x  "]}', False)])
+        assert got == [(1, "$pull", "tags", '{"$in": ["  x  "]}')]
 
     def test_clean_then_validate_roundtrip(self, spark):
         from simpl_schema_spark.modifiers import (
