@@ -116,18 +116,46 @@ class AutoValueContext:
         return F.col(".".join(parts))
 
 
+#: reference defaults (clean.ts:64-77)
+_CLEAN_DEFAULTS = {
+    "filter": True,
+    "auto_convert": True,
+    "remove_empty_strings": True,
+    "trim_strings": True,
+    "get_auto_values": True,
+    "remove_nulls_from_arrays": False,
+}
+
+
+def resolve_clean_options(schema: SimpleSchema, **kwargs: "bool | None") -> dict[str, bool]:
+    """Per-call kwargs (non-None) → schema constructor ``clean_options``
+    → reference defaults (SimpleSchema.ts:155-160)."""
+    return {
+        name: (
+            bool(kwargs[name])
+            if kwargs.get(name) is not None
+            else schema.clean_option(name, dflt)
+        )
+        for name, dflt in _CLEAN_DEFAULTS.items()
+    }
+
+
 def clean(
     df: DataFrame,
     schema: SimpleSchema,
     *,
-    filter: bool = True,  # noqa: A002
-    auto_convert: bool = True,
-    remove_empty_strings: bool = True,
-    trim_strings: bool = True,
-    get_auto_values: bool = True,
-    remove_nulls_from_arrays: bool = False,
+    filter: bool | None = None,  # noqa: A002
+    auto_convert: bool | None = None,
+    remove_empty_strings: bool | None = None,
+    trim_strings: bool | None = None,
+    get_auto_values: bool | None = None,
+    remove_nulls_from_arrays: bool | None = None,
 ) -> DataFrame:
-    """Return the cleaned DataFrame (one projection, no shuffle)."""
+    """Return the cleaned DataFrame (one projection, no shuffle).
+
+    ``None`` kwargs fall back to the schema's constructor ``clean_options``
+    (merged across extend — SimpleSchema.ts:155-160,705), then the
+    reference defaults."""
     out, _ = clean_with_info(
         df,
         schema,
@@ -145,18 +173,33 @@ def clean_with_info(
     df: DataFrame,
     schema: SimpleSchema,
     *,
-    filter: bool = True,  # noqa: A002
-    auto_convert: bool = True,
-    remove_empty_strings: bool = True,
-    trim_strings: bool = True,
-    get_auto_values: bool = True,
-    remove_nulls_from_arrays: bool = False,
+    filter: bool | None = None,  # noqa: A002
+    auto_convert: bool | None = None,
+    remove_empty_strings: bool | None = None,
+    trim_strings: bool | None = None,
+    get_auto_values: bool | None = None,
+    remove_nulls_from_arrays: bool | None = None,
     keep_originals_of_converted: bool = False,
 ) -> "tuple[DataFrame, _Cleaner]":
     """clean() + the compiler info (converted keys) for the composed
     clean-then-validate pipeline.  With ``keep_originals_of_converted`` the
     output also carries ``__orig_<key>`` copies of auto-converted columns so
     the validator can report original offending values."""
+    opts = resolve_clean_options(
+        schema,
+        filter=filter,
+        auto_convert=auto_convert,
+        remove_empty_strings=remove_empty_strings,
+        trim_strings=trim_strings,
+        get_auto_values=get_auto_values,
+        remove_nulls_from_arrays=remove_nulls_from_arrays,
+    )
+    filter = opts["filter"]  # noqa: A001
+    auto_convert = opts["auto_convert"]
+    remove_empty_strings = opts["remove_empty_strings"]
+    trim_strings = opts["trim_strings"]
+    get_auto_values = opts["get_auto_values"]
+    remove_nulls_from_arrays = opts["remove_nulls_from_arrays"]
     cleaner = _Cleaner(
         schema,
         filter=filter,
@@ -358,6 +401,11 @@ class PythonAutoValueContext:
 
     __slots__ = ("key", "value", "row", "_unset")
 
+    #: doc-mode analog of the reference's ``this.operator`` (null outside
+    #: modifiers, AutoValueRunner.ts:74) — the modifier-mode context
+    #: carries the real operator
+    operator: "str | None" = None
+
     def __init__(self, key: str, value: Any, row: dict):
         self.key = key
         self.value = value
@@ -370,6 +418,12 @@ class PythonAutoValueContext:
 
     def unset(self) -> None:
         self._unset = True
+
+    def parent_field(self) -> Any:
+        """Value of the containing object (this.parentField()); None at
+        top level, where the reference reports an unset field."""
+        parent, _, _ = self.key.rpartition(".")
+        return self.field(parent) if parent else None
 
     def field(self, path: str) -> Any:
         if path in self.row:
@@ -407,10 +461,14 @@ def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame
 
     ctx_struct, jsonified = ctx_safe_struct(df.schema, ctx_cols)
 
-    def _apply(values, ctx_rows):
+    def _apply(values, nulls, ctx_rows):
         out = []
-        for v, row in zip(values, ctx_rows.to_dict("records")):
-            if decode_value and isinstance(v, str):
+        for v, is_null, row in zip(values, nulls, ctx_rows.to_dict("records")):
+            if is_null:
+                # Arrow renders a NULL in an integral column as float NaN —
+                # the JVM-side flag is the truth for is_set
+                v = None
+            elif decode_value and isinstance(v, str):
                 v = _json.loads(v)
             ctx = PythonAutoValueContext(
                 key, v, decode_ctx_row(row, jsonified)
@@ -430,8 +488,10 @@ def _apply_python_auto_value(df: DataFrame, key: str, fn: Callable) -> DataFrame
 
     udf = F.pandas_udf(_apply, dtype)
     if decode_value:
-        return _set_path(df, key, lambda c: udf(F.to_json(c), ctx_struct))
-    return _set_path(df, key, lambda c: udf(c, ctx_struct))
+        return _set_path(
+            df, key, lambda c: udf(F.to_json(c), c.isNull(), ctx_struct)
+        )
+    return _set_path(df, key, lambda c: udf(c, c.isNull(), ctx_struct))
 
 
 def _array_levels(key: str) -> tuple[str, list[str]]:

@@ -101,6 +101,32 @@ def _is_ext_date(v: Column) -> Column:
     return v.rlike(r'^\s*\{\s*"\$date"')
 
 
+def _token_matches_alternatives(alts: list[dict], token: Column) -> Column:
+    """True when the JSON token's type class matches ANY alternative of a
+    oneOf group — autoConvert must then leave it alone (the reference gates
+    conversion on !isValueTypeValid over all definitions, clean.ts:101).
+    Integer alternatives match only integral numbers (Number.isInteger)."""
+    conds = []
+    for a in alts:
+        t = a.get("type")
+        if t is String:
+            conds.append(_is_json_string(token))
+        elif t is Integer:
+            num = _json_num(token)
+            conds.append(_is_json_number(token) & (num == F.floor(num)))
+        elif t is Number:
+            conds.append(_is_json_number(token))
+        elif t is Boolean:
+            conds.append(_is_json_bool(token))
+        elif t is DateType:
+            conds.append(_is_ext_date(token))
+        elif t is ArrayType:
+            conds.append(_is_json_array(token))
+        else:  # Object / nested SimpleSchema / custom classes
+            conds.append(_is_json_object(token) & ~_is_ext_date(token))
+    return reduce(lambda x, y: x | y, conds) if conds else F.lit(True)
+
+
 def _json_str(v: Column) -> Column:
     return F.from_json(F.concat(F.lit('{"v":'), v, F.lit("}")), "v string").getField("v")
 
@@ -894,12 +920,12 @@ def clean_modifier_table(
     schema: SimpleSchema,
     *,
     id_col: str = "doc_id",
-    filter: bool = True,  # noqa: A002
-    auto_convert: bool = True,
-    trim_strings: bool = True,
-    remove_empty_strings: bool = True,
-    remove_nulls_from_arrays: bool = False,
-    get_auto_values: bool = True,
+    filter: bool | None = None,  # noqa: A002
+    auto_convert: bool | None = None,
+    trim_strings: bool | None = None,
+    remove_empty_strings: bool | None = None,
+    remove_nulls_from_arrays: bool | None = None,
+    get_auto_values: bool | None = None,
 ) -> DataFrame:
     """clean() for modifier tables (reference clean.ts:64-147,175-187).
 
@@ -935,6 +961,23 @@ def clean_modifier_table(
     format: removing the last row of an operator removes the operator.
     """
     from .schema.types import Boolean as BoolTok, Number as NumTok
+    from .cleaning import resolve_clean_options
+
+    opts = resolve_clean_options(
+        schema,
+        filter=filter,
+        auto_convert=auto_convert,
+        trim_strings=trim_strings,
+        remove_empty_strings=remove_empty_strings,
+        remove_nulls_from_arrays=remove_nulls_from_arrays,
+        get_auto_values=get_auto_values,
+    )
+    filter = opts["filter"]  # noqa: A001
+    auto_convert = opts["auto_convert"]
+    trim_strings = opts["trim_strings"]
+    remove_empty_strings = opts["remove_empty_strings"]
+    remove_nulls_from_arrays = opts["remove_nulls_from_arrays"]
+    get_auto_values = opts["get_auto_values"]
 
     comp = _ModifierCompiler(schema)
     op = F.col("op")
@@ -972,10 +1015,15 @@ def clean_modifier_table(
         expr = token
         if auto_convert:
             if first is String:
-                # number/bool JSON → quoted string (toString parity)
+                # number/bool JSON → quoted string (toString parity);
+                # ext-date → quoted ISO payload (reference Date.toString —
+                # ISO-8601 is this engine's canonical date rendering)
                 expr = F.when(
                     _is_json_number(expr) | _is_json_bool(expr),
                     F.concat(F.lit('"'), F.trim(expr), F.lit('"')),
+                ).when(
+                    _is_ext_date(expr),
+                    _json_quote(F.from_json(expr, "`$date` string").getField("$date")),
                 ).otherwise(expr)
             elif first in (NumTok, Integer):
                 parsed = _json_str(expr)
@@ -989,6 +1037,12 @@ def clean_modifier_table(
                 lowered = F.lower(_json_str(expr))
                 expr = F.when(
                     _is_json_string(expr) & lowered.isin("true", "false"), lowered
+                ).otherwise(expr)
+            if len(alts) > 1:
+                # oneOf: convert only when the token matches NO alternative
+                # (clean.ts:101 gates on !isValueTypeValid over ALL defs)
+                expr = F.when(
+                    _token_matches_alternatives(alts, token), token
                 ).otherwise(expr)
         if trim_strings and not any(a.get("trim") is False for a in alts):
             from .cleaning import js_trim
@@ -1190,33 +1244,10 @@ def clean_modifier_table(
         )
 
     if get_auto_values:
-        defaults = [
-            (k, _default_as_json(getattr(fn, "default_value", None)))
-            for k, fn in schema.auto_value_functions()
-            if getattr(fn, "is_default", False) and "$" not in k
-        ]
-        if defaults:
-            spark = mods.sparkSession
-            upsert_docs = out.where(F.col("upsert")).select(id_col).distinct()
-            keys_df = spark.createDataFrame(defaults, "key_path string, value string")
-            # a key referenced by ANY operator is `isSet` → no default
-            # (AutoValueRunner.ts:57-58 doneKeys / isSet guard)
-            referenced = out.select(
-                F.col(id_col), _generic_key(F.col("key_path")).alias("key_path")
-            ).distinct()
-            missing = (
-                upsert_docs.crossJoin(F.broadcast(keys_df))
-                .join(referenced, [id_col, "key_path"], "left_anti")
-            )
-            out = out.unionByName(
-                missing.select(
-                    F.col(id_col),
-                    F.lit("$setOnInsert").alias("op"),
-                    "key_path",
-                    "value",
-                    F.lit(True).alias("upsert"),
-                )
-            )
+        # defaultValue keys now run inside _apply_modifier_auto_values
+        # through the same position machinery as opaque autoValue fns —
+        # upsert $setOnInsert, injection into $set objects / pushed items,
+        # and parent-creating dotted paths (defaultValue.tests.ts:229-514)
         out = _apply_modifier_auto_values(out, schema, id_col)
     return out
 
@@ -1266,6 +1297,10 @@ class _ModifierAutoValueContext:
     def sibling_field(self, name: str):
         parent, _, _ = self.key.rpartition(".")
         return self.field(f"{parent}.{name}" if parent else name)
+
+    def parent_field(self):
+        parent, _, _ = self.key.rpartition(".")
+        return self.field(parent) if parent else None
 
 
 #: operators whose entries carry a usable value for autoValue contexts
@@ -1397,15 +1432,24 @@ def _apply_modifier_auto_values(
     entries + ONE Arrow-batched UDF evaluating every autoValue fn per doc +
     one co-partitioned anti-join to drop replaced entries."""
     av_fns = [
-        (k, fn, ".$" in k)
+        ("fn", k, fn, ".$" in k)
         for k, fn in schema.auto_value_functions()
         if not getattr(fn, "is_default", False)
         and ("$" not in k or ".$" in k)
         and not (".$" in k and getattr(fn, "_is_spark_auto_value", False))
     ]
+    # defaultValue keys run through the SAME per-doc position machinery as
+    # opaque fns (the reference models defaultValue as an autoValue,
+    # getDefaultAutoValueFunction SimpleSchema.ts:1148-1167); parents-first
+    # ordering lets a parent's emitted {} compose its children's defaults
+    av_fns += [
+        ("default", k, getattr(fn, "default_value", None), False)
+        for k, fn in schema.auto_value_functions()
+        if getattr(fn, "is_default", False)
+    ]
     if not av_fns:
         return out
-    av_fns.sort(key=lambda kv: kv[0].count("."))
+    av_fns.sort(key=lambda kv: kv[1].count("."))
     from .cleaning import PythonAutoValueContext
 
     unchanged = PythonAutoValueContext.UNCHANGED
@@ -1569,13 +1613,132 @@ def _apply_modifier_auto_values(
                 else:
                     ents[g] = ("$set", _default_as_json(res))
 
+    def _seg_match(gs, ks):
+        return gs == ks or (gs == "$" and (ks == "$" or ks.isdigit()))
+
+    def _rel(ks, segs):
+        """entry key segs vs generic field segs: 'eq' (same position),
+        'extends' (entry creates the field's objects), 'prefix' (the field
+        lives inside the entry's value), or None (unrelated)."""
+        m = min(len(ks), len(segs))
+        if not all(_seg_match(segs[i], ks[i]) for i in range(m)):
+            return None
+        if len(ks) == len(segs):
+            return "eq"
+        return "extends" if len(ks) > len(segs) else "prefix"
+
+    def _leaf_slots(value, path):
+        """(container_dict, leaf_name) pairs for `path` resolved inside a
+        decoded JSON value — one per array element for `$` segments;
+        missing intermediates yield no slot (mongo-object position
+        semantics: only EXISTING parents give child positions)."""
+        if not path:
+            return []
+        if len(path) == 1:
+            return [(value, path[0])] if isinstance(value, dict) else []
+        seg = path[0]
+        if seg == "$":
+            if not isinstance(value, list):
+                return []
+            out = []
+            for el in value:
+                out.extend(_leaf_slots(el, path[1:]))
+            return out
+        if isinstance(value, dict) and seg in value:
+            return _leaf_slots(value[seg], path[1:])
+        return []
+
+    def run_default(g, dv, ents, upsert):
+        """Replay getDefaultAutoValueFunction × getPositionsForAutoValue
+        (SimpleSchema.ts:1148-1167, getPositionsForAutoValue.ts:42-148)
+        over the entry dict: inject into objects whose parent position is
+        set ($set objects, $push/$addToSet items), emit dotted
+        $setOnInsert rows on upsert when some entry creates the parent
+        path, $setOnInsert for unreferenced top-level keys on upsert."""
+        import copy
+
+        segs = g.split(".")
+        leaf = segs[-1]
+        if g in ents:  # exact entry (any op, incl. $unset) → isSet/done
+            return
+        slot_entries = []  # (entry_key, op0, root, slots)
+        for k in list(ents):
+            op0, tok = ents[k]
+            if op0 not in _VALUE_OPS:
+                continue
+            ks = k.split(".")
+            r = _rel(ks, segs)
+            if r in ("eq", "extends"):
+                # a real position exists (isSet → fn returns early) or the
+                # entry creates this key (no position → fn never runs)
+                return
+            if r == "prefix":
+                remaining = segs[len(ks):]
+                decoded = _decode_token(tok)
+                if op0 in ("$push", "$addToSet"):
+                    if remaining[0] != "$":
+                        continue
+                    rest = remaining[1:]
+                    if not rest:
+                        return  # the pushed element IS the field → set
+                    if isinstance(decoded, dict) and isinstance(
+                        decoded.get("$each"), list
+                    ):
+                        roots = decoded["$each"]
+                        root_obj = decoded
+                    else:
+                        roots = [decoded]
+                        root_obj = decoded
+                else:
+                    rest = remaining
+                    roots = [decoded]
+                    root_obj = decoded
+                slots = []
+                for rt in roots:
+                    slots.extend(_leaf_slots(rt, rest))
+                if slots:
+                    slot_entries.append((k, op0, root_obj, slots))
+        if slot_entries:
+            # parent positions exist → inject the default where absent
+            for k, op0, root, slots in slot_entries:
+                changed = False
+                for cont, lf in slots:
+                    if lf not in cont:
+                        cont[lf] = copy.deepcopy(dv)
+                        changed = True
+                if changed:
+                    ents[k] = (op0, _encode_json_value(root))
+            return
+        if len(segs) == 1:
+            # top-level would-be $set[g]: parent (root) unset → upsert only
+            if upsert:
+                ents[g] = ("$setOnInsert", _default_as_json(dv))
+            return
+        if segs[-2] == "$":
+            return  # parentPath ends '.$' → no creating-position synthesis
+        parent_segs = segs[:-1]
+        for k in list(ents):
+            op0, _tok = ents[k]
+            if op0 not in _VALUE_OPS:
+                continue
+            ks = k.split(".")
+            if _rel(ks, parent_segs) == "extends":
+                # would-be $set[<concrete parent>.<leaf>]: parent unset →
+                # {$setOnInsert: default} on upsert, dotted path notation
+                concrete = ".".join(ks[: len(parent_segs)] + [leaf])
+                if upsert and concrete not in ents:
+                    ents[concrete] = ("$setOnInsert", _default_as_json(dv))
+                return
+
     def run(entries, upsert):
         ents = {}
         for e in entries:
             ents.setdefault(e["key"], (e["op"], e["value"]))
         orig = dict(ents)
-        for k, fn, is_array in av_fns:
-            if is_array:
+        for kind, k, fn, is_array in av_fns:
+            if kind == "default":
+                run_default(k, fn, ents, upsert)
+            elif is_array:
                 run_array(k, fn, ents, upsert)
             else:
                 run_scalar(k, fn, ents, upsert)

@@ -108,6 +108,8 @@ class SimpleSchema:
             raw = {k: _redefine(d) for k, d in schema._schema.items()}
             self._validators.extend(schema._validators)
             self._doc_validators.extend(schema._doc_validators)
+            # clean options merge across extend (SimpleSchema.ts:705)
+            self._clean_options.update(schema._clean_options)
         else:
             raw = expand_shorthand(schema)
 
@@ -172,6 +174,25 @@ class SimpleSchema:
                     self._blackbox_keys.add(key)
 
     # --------------------------------------------------------------- queries
+
+    _CLEAN_OPTION_ALIASES = {
+        "filter": "filter",
+        "auto_convert": "autoConvert",
+        "trim_strings": "trimStrings",
+        "remove_empty_strings": "removeEmptyStrings",
+        "remove_nulls_from_arrays": "removeNullsFromArrays",
+        "get_auto_values": "getAutoValues",
+    }
+
+    def clean_option(self, name: str, default: bool) -> bool:
+        """Constructor-level clean default (SimpleSchema.ts:155-160) —
+        ``clean()``'s kwargs override per call; snake_case and the
+        reference's camelCase spellings both resolve."""
+        opts = self._clean_options
+        if name in opts:
+            return bool(opts[name])
+        camel = self._CLEAN_OPTION_ALIASES.get(name, name)
+        return bool(opts.get(camel, default))
 
     @property
     def schema_keys(self) -> list[str]:
@@ -319,7 +340,12 @@ class SimpleSchema:
     # ------------------------------------------------------------ composition
 
     def clone(self) -> "SimpleSchema":
-        return self._copy_with_schema({})
+        # deep-copies definitions (_redefine), so an extend() on the clone
+        # can never mutate this schema's defaults (SimpleSchema.ts:672-674;
+        # autoValue.tests.ts:1030 'autoValues do not bleed over')
+        return self._copy_with_schema(
+            {k: _redefine(d) for k, d in self._schema.items()}
+        )
 
     def pick(self, *keys: str) -> "SimpleSchema":
         return self._pick_or_omit(keys, keep=True)

@@ -88,6 +88,10 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
     )
 
     def make_udf(fn, decode_value=False):
+        # every variant takes a JVM-computed is-null flag: Arrow renders a
+        # NULL in an integral column as float NaN, so `v is None` alone
+        # under-reports unset values (same guard as
+        # cleaning._apply_python_auto_value)
         if getattr(fn, "vectorized", False):
             if decode_value:
                 # deep nested value arrived as a to_json string — decode
@@ -95,7 +99,7 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
                 # per-element branch below
                 import json as _json
 
-                def _apply(s: pd.Series) -> pd.Series:
+                def _apply(s: pd.Series, nulls: pd.Series) -> pd.Series:
                     return fn(
                         s.map(
                             lambda v: _json.loads(v)
@@ -106,7 +110,9 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
 
             else:
 
-                def _apply(s: pd.Series) -> pd.Series:
+                def _apply(s: pd.Series, nulls: pd.Series) -> pd.Series:
+                    s = s.astype(object)
+                    s[nulls.values.astype(bool)] = None
                     return fn(s)
 
         elif decode_value:
@@ -114,15 +120,24 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
             # arrowsafe.ctx_safe_struct) — decode before the user fn
             import json as _json
 
-            def _apply(s: pd.Series) -> pd.Series:
-                return s.map(
-                    lambda v: fn(_json.loads(v) if isinstance(v, str) else v)
+            def _apply(s: pd.Series, nulls: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [
+                        fn(None)
+                        if is_null
+                        else fn(_json.loads(v) if isinstance(v, str) else v)
+                        for v, is_null in zip(s, nulls)
+                    ],
+                    dtype=object,
                 )
 
         else:
 
-            def _apply(s: pd.Series) -> pd.Series:
-                return s.map(lambda v: fn(v) if v is not None else fn(None))
+            def _apply(s: pd.Series, nulls: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [fn(None if is_null else v) for v, is_null in zip(s, nulls)],
+                    dtype=object,
+                )
 
         return F.pandas_udf(_apply, T.StringType())
 
@@ -131,11 +146,15 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
 
         jsonified = list(jsonified)
 
-        def _apply(values: pd.Series, ctx_rows: pd.DataFrame) -> pd.Series:
+        def _apply(
+            values: pd.Series, nulls: pd.Series, ctx_rows: pd.DataFrame
+        ) -> pd.Series:
             rows = ctx_rows.to_dict("records")
             out = []
-            for v, row in zip(values, rows):
-                if decode_value and isinstance(v, str):
+            for v, is_null, row in zip(values, nulls, rows):
+                if is_null:
+                    v = None  # NaN-for-NULL Arrow guard, see make_udf
+                elif decode_value and isinstance(v, str):
                     v = _json.loads(v)
                 out.append(
                     fn(v, FieldContext(key, v, decode_ctx_row(row, jsonified)))
@@ -258,7 +277,9 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
             df = df.withColumn(rule.column_name, udf(*inputs))
             continue
         if rule.input_cols:
-            value_col = F.col(rule.input_cols[0])
+            raw_col = F.col(rule.input_cols[0])
+            null_col = raw_col.isNull()
+            value_col = raw_col
             decode_value = needs_arrow_guard(
                 resolve_dtype(df.schema, rule.input_cols[0])
             )
@@ -267,6 +288,7 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
                 value_col = F.to_json(value_col)
         else:
             value_col = F.lit(None).cast("string")  # key absent
+            null_col = F.lit(True)
             decode_value = False
         if rule.context_cols:
             ctx_struct, jsonified = ctx_safe_struct(
@@ -277,12 +299,14 @@ def _apply_pandas_rules(df: DataFrame, rules) -> DataFrame:
                 make_ctx_udf(
                     rule.fn, rule.key, jsonified=jsonified,
                     decode_value=decode_value,
-                )(value_col, ctx_struct),
+                )(value_col, null_col, ctx_struct),
             )
         else:
             df = df.withColumn(
                 rule.column_name,
-                make_udf(rule.fn, decode_value=decode_value)(value_col),
+                make_udf(rule.fn, decode_value=decode_value)(
+                    value_col, null_col
+                ),
             )
     return df
 

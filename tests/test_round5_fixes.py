@@ -440,3 +440,59 @@ class TestStreamingLateData:
         )
         w0 = {r.category: r.cnt for r in rows if r.window.start.hour == 0}
         assert w0 == {"en": 1, "de": 1}  # no 'fr' — late row dropped
+
+
+class TestArrowNanNullGuard:
+    """Arrow renders NULL in an integral column as float NaN inside pandas
+    UDFs — autoValue fns and Python rules must see None, and genuine NaN in
+    double columns must NOT be masked (cleaning.py `_apply_python_auto_value`
+    null-flag; validation.py make_udf/make_ctx_udf null-flag)."""
+
+    def test_auto_value_sees_none_for_null_bigint(self, spark):
+        from simpl_schema_spark.cleaning import clean
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def default5(ctx):
+            if not ctx.is_set:
+                return 5
+            return ctx.UNCHANGED
+
+        ss = SimpleSchema(
+            {
+                "name": {"type": str},
+                "n": {"type": int, "autoValue": default5},
+            }
+        )
+        df = spark.createDataFrame(
+            [("a", None), ("b", 20)], "name string, n bigint"
+        )
+        got = {r.name: r.n for r in clean(df, ss).collect()}
+        assert got == {"a": 5, "b": 20}
+
+    def test_python_rule_sees_none_for_null_int_but_real_nan(self, spark):
+        import math
+
+        from simpl_schema_spark.validation import with_violations
+        from simpl_schema_spark.schema import SimpleSchema
+
+        def classify(v):
+            if v is None:
+                return "wasNull"
+            if isinstance(v, float) and math.isnan(v):
+                return "wasNaN"
+            return None
+
+        ss = SimpleSchema(
+            {"x": {"type": float, "optional": True, "custom": classify}}
+        )
+        df = spark.createDataFrame(
+            [(1, None), (2, float("nan")), (3, 1.5)], "i bigint, x double"
+        )
+        out = with_violations(df.drop("i"), ss).collect()
+        kinds = sorted(
+            v["type"] for r in out for v in (r.violations or [])
+        )
+        # null → custom fn saw None (NOT NaN); genuine NaN → the built-in
+        # number check fires first (`expectedType`, one error per key) —
+        # which also proves the NaN was not masked to null by the guard
+        assert kinds == ["expectedType", "wasNull"]

@@ -209,8 +209,9 @@ class TestExtendPickOmit:
     def test_clone_independent(self):
         ss = SimpleSchema({"a": str})
         c = ss.clone()
+        assert set(c.schema_keys) == {"a"}
         c.extend({"b": str})
-        assert "b" not in ss and "b" in c
+        assert "b" not in ss and "b" in c and "a" in c
 
 
 class TestKeyQueries:
