@@ -813,6 +813,56 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingestion edge (warc.py): documents serialized into WET
+    archives (8 gzip files — the deterministic stand-in for a crawl
+    segment, cached per input) → ``read_wet`` distributed parse →
+    (doc_id, url, text).  Fixture synthesis collects driver-side BY
+    DESIGN: it fabricates the external input files; the measured operator
+    is the binaryFile + mapInPandas parse, which is file-parallel exactly
+    as it is on a real 90k-file crawl."""
+    import hashlib
+    import os
+    import tempfile
+
+    from simpl_schema_spark.warc import build_wet, read_wet
+
+    rows = sorted(
+        (
+            (r.doc_id, r.text)
+            for r in _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .where(F.col("text").isNotNull())
+            .collect()
+        ),
+    )
+    key = hashlib.md5(f"{sf_dir}:{len(rows)}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"sss_wet_{key}")
+    os.makedirs(d, exist_ok=True)
+    n_files = 8
+    per = max(1, -(-len(rows) // n_files))
+    for i in range(0, len(rows), per):
+        final = os.path.join(d, f"seg-{i // per:05d}.wet.gz")
+        if os.path.exists(final):
+            continue
+        blob = build_wet(
+            (
+                (f"http://ex.test/doc/{doc_id}", "2017-01-01T00:00:00Z", text)
+                for doc_id, text in rows[i : i + per]
+            )
+        )
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, final)  # atomic: concurrent builders converge
+    recs = read_wet(spark, d, path_glob="*.wet.gz")
+    return recs.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "url",
+        "text",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_validate_documents(spark, "/root/testdata/sf0.001")
@@ -860,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_common_lines": q_remove_common_lines,
         "fix_encoding": q_fix_encoding,
         "quality_filter": q_quality_filter,
+        "wet_roundtrip": q_wet_roundtrip,
     }
 
 
@@ -1704,5 +1755,12 @@ def oracle_sql() -> dict[str, str]:
             select url, doc_id as keep_id, n_chars as keep_score,
                    n_dups::bigint as n_dups
               from r where rn = 1
+        """,
+        "wet_roundtrip": """
+            select doc_id,
+                   'http://ex.test/doc/' || cast(doc_id as varchar) as url,
+                   text
+              from documents
+             where text is not null
         """,
     }
