@@ -813,6 +813,42 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER = (
+    "subscribe to our newsletter for updates terms of service "
+    "privacy policy all rights reserved"
+)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (dedup/spans.py, Lee-et-al-style
+    substring dedup as hot anchor k-grams): every third document gains a
+    shared 14-token boilerplate suffix (partial spans), and documents
+    with doc_id < 20 are duplicated verbatim under shifted ids (full-doc
+    spans); runs of >= 12 tokens occurring >= 2 times anywhere in the
+    corpus are removed from every occurrence."""
+    from simpl_schema_spark.dedup import remove_duplicate_spans
+
+    base = (
+        _docs_par(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit(" " + _BOILER)
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    d = base.unionAll(
+        base.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return remove_duplicate_spans(d, k=12, min_count=2)
+
+
 def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-ingestion edge (warc.py): documents serialized into WET
     archives (8 gzip files — the deterministic stand-in for a crawl
@@ -911,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_encoding": q_fix_encoding,
         "quality_filter": q_quality_filter,
         "wet_roundtrip": q_wet_roundtrip,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -1762,5 +1799,70 @@ def oracle_sql() -> dict[str, str]:
                    text
               from documents
              where text is not null
+        """,
+        "duplicate_spans": rf"""
+            with base as (
+                select doc_id,
+                       text || case when doc_id % 3 = 0
+                                    then ' {_BOILER}' else '' end as t
+                  from documents where text is not null
+            ), d as (
+                select doc_id, t from base
+                union all
+                select doc_id + 10000 as doc_id, t from base
+                 where doc_id < 20
+            ), toks as (
+                select doc_id,
+                       list_filter(regexp_split_to_array(t, '\s+'),
+                                   x -> x <> '') as w
+                  from d
+            ), tk as (
+                select doc_id, w from toks where len(w) > 0
+            ), g as (
+                select doc_id,
+                       unnest([array_to_string(w[i:i+11], chr(31))
+                               for i in range(1, len(w) - 10)]) as gram,
+                       unnest(generate_series(0, len(w) - 12)) as i
+                  from tk where len(w) >= 12
+            ), hot as (
+                select gram from g group by gram having count(*) >= 2
+            ), hits as (
+                select doc_id, i from g join hot using (gram)
+            ), isl as (
+                select doc_id, i,
+                       case when lag(i) over w is null
+                                 or i - lag(i) over w > 12
+                            then 1 else 0 end as nw
+                  from hits
+                window w as (partition by doc_id order by i)
+            ), sp as (
+                select doc_id, i,
+                       sum(nw) over (partition by doc_id order by i
+                                     rows unbounded preceding) as sid
+                  from isl
+            ), spans as (
+                select doc_id, sid, min(i) as s, max(i) + 11 as e
+                  from sp group by doc_id, sid
+            ), removed as (
+                select doc_id, sid,
+                       unnest(generate_series(s, e)) as ri
+                  from spans
+            ), tokrows as (
+                select doc_id,
+                       unnest(w) as tok,
+                       unnest(generate_series(0, len(w) - 1)) as idx
+                  from tk
+            )
+            select t.doc_id,
+                   coalesce(string_agg(t.tok, ' ' order by t.idx)
+                            filter (where r.ri is null), '')
+                       as text_deduped,
+                   count(*)::bigint as n_tokens,
+                   count(r.ri)::bigint as n_dup_tokens,
+                   count(distinct r.sid)::bigint as n_spans
+              from tokrows t
+              left join removed r
+                on t.doc_id = r.doc_id and t.idx = r.ri
+             group by t.doc_id
         """,
     }

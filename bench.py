@@ -74,6 +74,7 @@ HEADLINE_EXTRA = [
     "remove_common_lines",
     "fix_encoding",
     "quality_filter",
+    "wet_roundtrip",
 ]
 
 

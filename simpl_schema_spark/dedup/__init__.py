@@ -13,3 +13,4 @@ from .components import (  # noqa: F401
 )
 from .keepbest import keep_best  # noqa: F401
 from .lines import line_document_frequencies, remove_common_lines  # noqa: F401
+from .spans import duplicate_spans, remove_duplicate_spans  # noqa: F401
