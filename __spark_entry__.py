@@ -813,6 +813,54 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target mixture for the contract query — 'de' intentionally absent
+#: (groups outside the target mixture are dropped)
+_MIXTURE_WEIGHTS = {"en": 0.6, "zh": 0.15, "es": 0.15, "fr": 0.1}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling (sampling.mixture_sample):
+    downsample-only reweighting of the corpus toward target language
+    proportions, content-keyed on doc_id so re-runs select identical
+    rows; 'de' has no target weight and is dropped entirely."""
+    from simpl_schema_spark.sampling import mixture_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return mixture_sample(d, "lang", "doc_id", _MIXTURE_WEIGHTS)
+
+
+def _mixture_oracle_sql() -> str:
+    """DuckDB replay of q_mixture_sample, generated from the SAME weight
+    dict; every numeric literal is ::double so DuckDB follows the exact
+    IEEE sequence Spark executes (bare decimal literals are DECIMAL
+    there, and decimal arithmetic would diverge in the last bit)."""
+    total_w = float(sum(_MIXTURE_WEIGHTS.values()))
+    vals = ", ".join(
+        f"('{g}', {w!r}::double)" for g, w in _MIXTURE_WEIGHTS.items()
+    )
+    return f"""
+        with c as (
+            select lang as g, count(*) as n from documents group by 1
+        ), w (g, wt) as (
+            values {vals}
+        ), p as (
+            select c.g, c.n, wt / {total_w!r}::double as p
+              from c join w using (g)
+        ), t as (
+            select min(n / p) as t from p
+        ), r as (
+            select g,
+                   floor(least(1.0::double, (p * t.t * 1.0::double) / n)
+                         * 4294967296.0::double) as thr
+              from p, t
+        )
+        select d.doc_id, d.lang
+          from documents d join r on d.lang = r.g
+         where ('0x' || substring(md5(cast(d.doc_id as varchar)), 1, 8))::uint64
+               < r.thr
+    """
+
+
 _BOILER = (
     "subscribe to our newsletter for updates terms of service "
     "privacy policy all rights reserved"
@@ -948,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "wet_roundtrip": q_wet_roundtrip,
         "duplicate_spans": q_duplicate_spans,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1793,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
                    n_dups::bigint as n_dups
               from r where rn = 1
         """,
+        "mixture_sample": _mixture_oracle_sql(),
         "wet_roundtrip": """
             select doc_id,
                    'http://ex.test/doc/' || cast(doc_id as varchar) as url,

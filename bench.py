@@ -75,6 +75,8 @@ HEADLINE_EXTRA = [
     "fix_encoding",
     "quality_filter",
     "wet_roundtrip",
+    "duplicate_spans",
+    "mixture_sample",
 ]
 
 

@@ -29,7 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_key", "hash_sample", "stratified_sample"]
+__all__ = [
+    "hash_key",
+    "hash_sample",
+    "mixture_rates",
+    "mixture_sample",
+    "stratified_sample",
+]
 
 #: 16^8 — the sample decision reads the first 8 hex chars of the md5
 _SPACE = 1 << 32
@@ -52,6 +58,101 @@ def hash_sample(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     threshold = int(rate * _SPACE)
     return df.where(hash_key(F.col(key_col)) < F.lit(threshold))
+
+
+def mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    *,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Per-group acceptance rates that resample the corpus to a target
+    mixture (``(group, n, rate)``).
+
+    ``weights`` are target PROPORTIONS (normalized internally).  Without
+    replacement no group can be upsampled, so the achievable corpus size
+    is ``T = min_g(n_g / p_g)`` — the binding group is kept whole and
+    every other group is downsampled to match the mixture at size ``T``
+    (``scale`` < 1 shrinks the output below that feasibility bound).
+    Groups absent from ``weights`` (or weighted 0) get no row here and
+    are dropped by :func:`mixture_sample`.
+
+    Scale shape: ONE map-side-combined count per group (result rows =
+    group cardinality — languages/domains, not documents) and a 1-row
+    min() cross-joined back; everything stays lazy/distributed, nothing
+    collects.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"scale must be in (0, 1], got {scale}")
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for kv in weights.items()
+            if kv[1] > 0
+            for x in kv
+        ]
+    )
+    counts = (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # share lookup mirrors the oracle SQL verbatim (w / W both
+        # literals) so the IEEE double sequence matches cross-engine
+        .withColumn("__p", wmap[F.col("group")] / F.lit(total_w))
+        .where(F.col("__p").isNotNull())
+    )
+    t = counts.select(
+        F.min(F.col("n") / F.col("__p")).alias("__t")
+    )
+    return (
+        counts.crossJoin(t)  # 1-row total: broadcast by AQE
+        .select(
+            "group",
+            "n",
+            F.least(
+                F.lit(1.0),
+                (F.col("__p") * F.col("__t") * F.lit(float(scale)))
+                / F.col("n"),
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic resample of ``df`` to the target group mixture
+    (DoReMi/DCLM-style domain reweighting, downsample-only).
+
+    Each row is kept iff ``hash_key(key_col)`` falls under its group's
+    acceptance threshold from :func:`mixture_rates` — content-keyed like
+    :func:`hash_sample`, so re-runs and resumed partitions select the
+    SAME rows and the realized mixture concentrates around the target
+    (binomial per group).  Rows whose group is not in ``weights`` are
+    dropped.  The rate table is group-cardinality-sized: the join
+    broadcasts (AQE), and the filter evaluates scan-side.
+    """
+    rates = mixture_rates(df, group_col, weights, scale=scale).select(
+        F.col("group").alias("__g"),
+        F.floor(F.col("rate") * F.lit(float(_SPACE))).alias("__thr"),
+    )
+    return (
+        df.join(rates, F.col(group_col) == F.col("__g"), "inner")
+        .where(hash_key(F.col(key_col)) < F.col("__thr"))
+        .drop("__g", "__thr")
+    )
 
 
 def stratified_sample(
