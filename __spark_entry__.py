@@ -813,6 +813,55 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level filtering (text/urlfilter.py): deterministic URL
+    synthesis covering every drop reason — spam keyword, raw-IP host,
+    blocklisted registrable domain (incl. a ccSLD resolved via a
+    caller-supplied public-suffix entry), parameter-chain overflow —
+    with two shapes surviving."""
+    from simpl_schema_spark.text import filter_urls
+
+    did = F.col("doc_id")
+    m = did % 7
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://news.example.com/articles/"), did))
+        .when(m == 1, F.concat(F.lit("https://spamhub.biz/casino/"), did))
+        .when(m == 2, F.concat(F.lit("http://10.0.0."), did % 250, F.lit("/r/"), did))
+        .when(m == 3, F.concat(F.lit("https://blocked-one.com/p/"), did))
+        .when(m == 4, F.concat(F.lit("https://ok.org/p?"), F.repeat(F.lit("a=1&"), 20), F.lit("z=1")))
+        .when(m == 5, F.concat(F.lit("https://shop.example.co.uk/item/"), did))
+        .otherwise(F.concat(F.lit("https://fine.org/a/b/c/"), did))
+    ).cast("string")
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("blocked-one.com",), ("example.co.uk",)], "domain string"
+    )
+    return filter_urls(
+        d,
+        blocked_domains=blocked,
+        blocked_keywords=["casino", "viagra"],
+        public_suffixes={"co.uk"},
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain volume cap (text/urlfilter.cap_per_domain): 97
+    synthetic registrable domains, at most 3 documents each, selected by
+    content-hash order — the two-stage bounded top-n, no per-domain
+    window."""
+    from simpl_schema_spark.text import cap_per_domain
+
+    did = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), did % 97, F.lit(".site"), did % 97,
+            F.lit(".com/p/"), did,
+        ).alias("url"),
+    )
+    return cap_per_domain(d, "url", "doc_id", 3)
+
+
 #: target mixture for the contract query — 'de' intentionally absent
 #: (groups outside the target mixture are dropped)
 _MIXTURE_WEIGHTS = {"en": 0.6, "zh": 0.15, "es": 0.15, "fr": 0.1}
@@ -997,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "duplicate_spans": q_duplicate_spans,
         "mixture_sample": q_mixture_sample,
+        "url_filter": q_url_filter,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -1843,6 +1894,52 @@ def oracle_sql() -> dict[str, str]:
               from r where rn = 1
         """,
         "mixture_sample": _mixture_oracle_sql(),
+        "url_filter": """
+            with u as (
+                select doc_id, doc_id % 7 as m,
+                       case doc_id % 7
+                         when 0 then 'https://news.example.com/articles/'
+                                     || cast(doc_id as varchar)
+                         when 1 then 'https://spamhub.biz/casino/'
+                                     || cast(doc_id as varchar)
+                         when 2 then 'http://10.0.0.'
+                                     || cast(doc_id % 250 as varchar)
+                                     || '/r/' || cast(doc_id as varchar)
+                         when 3 then 'https://blocked-one.com/p/'
+                                     || cast(doc_id as varchar)
+                         when 4 then 'https://ok.org/p?'
+                                     || repeat('a=1&', 20) || 'z=1'
+                         when 5 then 'https://shop.example.co.uk/item/'
+                                     || cast(doc_id as varchar)
+                         else 'https://fine.org/a/b/c/'
+                              || cast(doc_id as varchar)
+                       end as url
+                  from documents
+            )
+            select doc_id, url from u where m in (0, 6)
+        """,
+        "domain_cap": """
+            with u as (
+                select doc_id,
+                       'https://h' || cast(doc_id % 97 as varchar)
+                       || '.site' || cast(doc_id % 97 as varchar)
+                       || '.com/p/' || cast(doc_id as varchar) as url,
+                       'site' || cast(doc_id % 97 as varchar) || '.com'
+                           as dom
+                  from documents
+            ), r as (
+                select doc_id, url,
+                       row_number() over (
+                           partition by dom
+                           order by ('0x' || substring(
+                                       md5(cast(doc_id as varchar)), 1, 8
+                                     ))::uint64,
+                                    doc_id
+                       ) as rn
+                  from u
+            )
+            select doc_id, url from r where rn <= 3
+        """,
         "wet_roundtrip": """
             select doc_id,
                    'http://ex.test/doc/' || cast(doc_id as varchar) as url,

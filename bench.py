@@ -77,6 +77,8 @@ HEADLINE_EXTRA = [
     "wet_roundtrip",
     "duplicate_spans",
     "mixture_sample",
+    "url_filter",
+    "domain_cap",
 ]
 
 

@@ -20,6 +20,11 @@ from .repetition import (  # noqa: F401
     repetition_metrics,
     top_bigram_coverage,
 )
+from .urlfilter import (  # noqa: F401
+    cap_per_domain,
+    filter_urls,
+    url_shape_features,
+)
 from .urls import (  # noqa: F401
     url_host,
     url_normalize,
