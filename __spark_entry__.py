@@ -862,6 +862,23 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_domain(d, "url", "doc_id", 3)
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (text/classifier.py):
+    256-bucket weight table (weights derived from the bucket id in
+    integer milli-units so the per-doc sum is exact), md5 hash family
+    for engine portability; null/empty docs score exactly the bias."""
+    from simpl_schema_spark.text import classifier_score
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    weights = spark.range(256).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 13) - 6).alias("weight"),
+    )
+    return classifier_score(
+        d, weights, n_buckets=256, bias=0.0, hash_family="md5"
+    )
+
+
 #: target mixture for the contract query — 'de' intentionally absent
 #: (groups outside the target mixture are dropped)
 _MIXTURE_WEIGHTS = {"en": 0.6, "zh": 0.15, "es": 0.15, "fr": 0.1}
@@ -1048,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "url_filter": q_url_filter,
         "domain_cap": q_domain_cap,
+        "classifier_score": q_classifier_score,
     }
 
 
@@ -1894,6 +1912,36 @@ def oracle_sql() -> dict[str, str]:
               from r where rn = 1
         """,
         "mixture_sample": _mixture_oracle_sql(),
+        "classifier_score": r"""
+            with norm as (
+                select doc_id,
+                       coalesce(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^\p{L}\p{N} ]', ' ', 'g'),
+                           '\s+', ' ', 'g')), '') as t
+                  from documents
+            ), tk as (
+                select doc_id,
+                       list_filter(string_split(t, ' '), x -> x <> '') as w
+                  from norm
+            ), tokrows as (
+                select doc_id, unnest(w) as tok from tk
+            ), bk as (
+                select doc_id,
+                       cast(('0x' || substring(md5(tok), 1, 8))::uint64
+                            % 256 as bigint) as b
+                  from tokrows
+            ), agg as (
+                select doc_id, count(*) as cnt,
+                       sum((b % 13) - 6) as s
+                  from bk group by doc_id
+            )
+            select n.doc_id,
+                   coalesce(a.cnt, 0)::bigint as n_tokens,
+                   (0.0 + coalesce(a.s, 0)
+                          / greatest(coalesce(a.cnt, 0), 1))::double
+                       as score
+              from norm n left join agg a using (doc_id)
+        """,
         "url_filter": """
             with u as (
                 select doc_id, doc_id % 7 as m,

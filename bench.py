@@ -79,6 +79,7 @@ HEADLINE_EXTRA = [
     "mixture_sample",
     "url_filter",
     "domain_cap",
+    "classifier_score",
 ]
 
 
