@@ -862,6 +862,20 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_domain(d, "url", "doc_id", 3)
 
 
+def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (dedup/incremental.new_rows):
+    batch = every document's synthetic url, seen = the first 250 — with
+    a deliberately saturated 512-bit Bloom (≈45% false positives) so
+    BOTH routes carry real traffic and the oracle proves the result is
+    exact regardless of filter sizing."""
+    from simpl_schema_spark.dedup import new_rows
+
+    url = F.concat(F.lit("https://ex.org/p/"), F.col("doc_id")).alias("url")
+    batch = _docs(spark, sf_dir).select(url, "doc_id")
+    seen = batch.where(F.col("doc_id") < 250).select("url")
+    return new_rows(batch, seen, "url", bloom_bits=512, n_hashes=3)
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear quality classifier (text/classifier.py):
     256-bucket weight table (weights derived from the bucket id in
@@ -1066,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "domain_cap": q_domain_cap,
         "classifier_score": q_classifier_score,
+        "incremental_new": q_incremental_new,
     }
 
 
@@ -1912,6 +1927,12 @@ def oracle_sql() -> dict[str, str]:
               from r where rn = 1
         """,
         "mixture_sample": _mixture_oracle_sql(),
+        "incremental_new": """
+            select 'https://ex.org/p/' || cast(doc_id as varchar) as url,
+                   doc_id
+              from documents
+             where doc_id >= 250
+        """,
         "classifier_score": r"""
             with norm as (
                 select doc_id,

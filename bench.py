@@ -80,6 +80,7 @@ HEADLINE_EXTRA = [
     "url_filter",
     "domain_cap",
     "classifier_score",
+    "incremental_new",
 ]
 
 

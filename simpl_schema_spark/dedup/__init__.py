@@ -11,6 +11,7 @@ from .components import (  # noqa: F401
     connected_components,
     dedup_groups_from_pairs,
 )
+from .incremental import bloom_words, new_rows  # noqa: F401
 from .keepbest import keep_best  # noqa: F401
 from .lines import line_document_frequencies, remove_common_lines  # noqa: F401
 from .spans import duplicate_spans, remove_duplicate_spans  # noqa: F401
