@@ -108,10 +108,16 @@ def mixture_rates(
         .withColumn("__p", wmap[F.col("group")] / F.lit(total_w))
         .where(F.col("__p").isNotNull())
     )
+    # consumed twice (feasibility min + rate projection): without
+    # staging, BOTH branches re-scan the corpus for the group counts
+    counts = counts.persist()
+    counts.count()
     t = counts.select(
         F.min(F.col("n") / F.col("__p")).alias("__t")
     )
-    return (
+    from .cache import materialize_and_release
+
+    rates = (
         counts.crossJoin(t)  # 1-row total: broadcast by AQE
         .select(
             "group",
@@ -123,6 +129,7 @@ def mixture_rates(
             ).alias("rate"),
         )
     )
+    return materialize_and_release(rates, counts)
 
 
 def mixture_sample(

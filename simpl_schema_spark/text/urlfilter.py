@@ -96,13 +96,21 @@ def filter_urls(
     out = df.where(keep)
     if blocked_domains is not None:
         bcol = blocked_domains.columns[0]
-        out = out.join(
-            blocked_domains.select(
-                F.lower(F.col(bcol)).alias("__blocked_dom")
-            ).distinct(),
-            url_registered_domain(F.col(url_col), public_suffixes)
-            == F.col("__blocked_dom"),
-            "left_anti",
+        # stage the domain ONCE: as a bare join-key expression the
+        # regex chain would re-evaluate in the exchange hash, the sort,
+        # and the join-key comparison (3x per row)
+        out = (
+            out.withColumn(
+                "__dom", url_registered_domain(F.col(url_col), public_suffixes)
+            )
+            .join(
+                blocked_domains.select(
+                    F.lower(F.col(bcol)).alias("__blocked_dom")
+                ).distinct(),
+                F.col("__dom") == F.col("__blocked_dom"),
+                "left_anti",
+            )
+            .drop("__dom")
         )
     return out
 
