@@ -862,6 +862,16 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_domain(d, "url", "doc_id", 3)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking (text/chunking.py): every document split
+    into consecutive 16-token windows, zero-shuffle scan-side layout."""
+    from simpl_schema_spark.text.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"), max_tokens=16
+    )
+
+
 def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup (dedup/incremental.new_rows):
     batch = every document's synthetic url, seen = the first 250 — with
@@ -1081,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "classifier_score": q_classifier_score,
         "incremental_new": q_incremental_new,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1927,6 +1938,28 @@ def oracle_sql() -> dict[str, str]:
               from r where rn = 1
         """,
         "mixture_sample": _mixture_oracle_sql(),
+        "chunk_documents": r"""
+            with t as (
+                select doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') as w
+                  from documents where text is not null
+            ), tk as (
+                select doc_id, w, len(w) as n from t where len(w) > 0
+            ), c as (
+                select doc_id, w,
+                       unnest(generate_series(0, (n + 15) // 16 - 1))
+                           as chunk_idx
+                  from tk
+            )
+            select doc_id,
+                   chunk_idx::bigint as chunk_idx,
+                   len(w[chunk_idx*16+1 : chunk_idx*16+16])::bigint
+                       as n_tokens,
+                   array_to_string(w[chunk_idx*16+1 : chunk_idx*16+16], ' ')
+                       as chunk_text
+              from c
+        """,
         "incremental_new": """
             select 'https://ex.org/p/' || cast(doc_id as varchar) as url,
                    doc_id

@@ -81,6 +81,7 @@ HEADLINE_EXTRA = [
     "domain_cap",
     "classifier_score",
     "incremental_new",
+    "chunk_documents",
 ]
 
 

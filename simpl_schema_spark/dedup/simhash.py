@@ -19,7 +19,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..text.analysis import normalized_text, word_tokens
 from .buckets import bounded_buckets
 
-__all__ = ["simhash", "simhash_from_hashes", "hamming_distance", "simhash_near_duplicates"]
+__all__ = [
+    "simhash",
+    "simhash_from_hashes",
+    "hamming_distance",
+    "hamming_near_duplicates",
+    "simhash_near_duplicates",
+]
 
 _BITS = 64
 
@@ -143,6 +149,50 @@ def simhash_near_duplicates(
         .persist()
     )
     sigs.count()  # materialize before the multi-consumer DAG (see ngram.py)
+    return hamming_near_duplicates(
+        sigs,
+        "id",
+        "sh",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+        _intermediates=(token_hashes, sigs),
+        _presigned=True,
+    )
+
+
+def hamming_near_duplicates(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "sh",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 500,
+    _intermediates: tuple = (),
+    _presigned: bool = False,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column (SimHash, image
+    dHash, audio fingerprints …): ``(id_a, id_b, hamming)`` with hamming
+    ≤ ``max_hamming``; recall exact for ``max_hamming < bands``
+    (pigeonhole over the banded chunks).  Same bounded-bucket shape as
+    every candidate generator in this package."""
+    if not 1 <= bands <= _BITS or _BITS % bands != 0:
+        raise ValueError(f"bands must divide {_BITS}, got {bands}")
+    chunk_bits = _BITS // bands
+    mask = (1 << chunk_bits) - 1
+    if not _presigned:
+        sigs = (
+            sigs.select(
+                F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+            )
+            .where(F.col("sh").isNotNull())
+            # consumed twice by the bounded bucket builder (count +
+            # collect): stage so the fingerprint pipeline runs once
+            .persist()
+        )
+        sigs.count()
+        _intermediates = (*_intermediates, sigs)
     chunks = F.array(
         *[
             F.struct(
@@ -191,4 +241,4 @@ def simhash_near_duplicates(
     # materialize the (small) pair result, then drop the intermediate caches
     from ..cache import materialize_and_release
 
-    return materialize_and_release(out, token_hashes, sigs)
+    return materialize_and_release(out, *_intermediates)
