@@ -862,6 +862,69 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_domain(d, "url", "doc_id", 3)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness filter (text/robots.py, RFC 9309 from
+    scratch): three synthesized policies — Allow-overrides-Disallow,
+    $-anchored wildcard, unknown-domain default-allow — decided per
+    document by arithmetic the oracle replays."""
+    from simpl_schema_spark.text import filter_allowed, robots_rules
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /\nAllow: /public/"),
+            ("b.com", "User-agent: *\nDisallow: /*.pdf$"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(bodies)
+    did = F.col("doc_id")
+    m = did % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://a.com/public/p"), did))
+        .when(m == 1, F.concat(F.lit("https://a.com/priv/p"), did))
+        .when(m == 2, F.concat(F.lit("https://b.com/f"), did, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("https://unknown.org/x"), did))
+    ).cast("string")
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return filter_allowed(d, rules)
+
+
+def q_webtext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed round-5 web-text pipeline: URL filtering → scan-level
+    quality gate (length + token floor) → domain-mixture resampling →
+    context-length chunking.  The 100-TB shape: every filter is a scan
+    predicate, the mixture rate table is one group-count shuffle
+    broadcast back, chunking is shuffle-free — the whole pipeline is ONE
+    shuffle end-to-end (plus the tiny 1-row feasibility min)."""
+    from simpl_schema_spark.sampling import mixture_sample
+    from simpl_schema_spark.text import filter_urls
+    from simpl_schema_spark.text.analysis import token_count
+    from simpl_schema_spark.text.chunking import chunk_documents
+
+    did = F.col("doc_id")
+    m = did % 7
+    url = (
+        F.when(m == 1, F.concat(F.lit("https://spamhub.biz/casino/"), did))
+        .when(m == 3, F.concat(F.lit("https://blocked-one.com/p/"), did))
+        .otherwise(F.concat(F.lit("https://ok.org/a/"), did))
+    ).cast("string")
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text", url.alias("url"))
+    )
+    blocked = spark.createDataFrame([("blocked-one.com",)], "domain string")
+    kept = filter_urls(
+        d, blocked_domains=blocked, blocked_keywords=["casino"]
+    ).where(
+        (F.length("text") >= 200) & (token_count(F.col("text")) >= 30)
+    )
+    mixed = mixture_sample(kept, "lang", "doc_id", _MIXTURE_WEIGHTS)
+    return chunk_documents(
+        mixed.select("doc_id", "text"), max_tokens=32
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking (text/chunking.py): every document split
     into consecutive 16-token windows, zero-shuffle scan-side layout."""
@@ -917,6 +980,60 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     return mixture_sample(d, "lang", "doc_id", _MIXTURE_WEIGHTS)
+
+
+def _webtext_pipeline_oracle_sql() -> str:
+    """DuckDB replay of q_webtext_pipeline: url-filter arithmetic →
+    quality gate → the mixture algebra (same ::double literal discipline
+    as _mixture_oracle_sql, counted over the FILTERED corpus) → 32-token
+    chunking."""
+    total_w = float(sum(_MIXTURE_WEIGHTS.values()))
+    vals = ", ".join(
+        f"('{g}', {w!r}::double)" for g, w in _MIXTURE_WEIGHTS.items()
+    )
+    return rf"""
+        with q as (
+            select doc_id, lang, text,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') as w
+              from documents
+             where text is not null
+               and doc_id % 7 not in (1, 3)
+               and length(text) >= 200
+        ), f as (
+            select doc_id, lang, w from q where len(w) >= 30
+        ), c as (
+            select lang as g, count(*) as n from f group by 1
+        ), wt (g, wt) as (
+            values {vals}
+        ), p as (
+            select c.g, c.n, wt / {total_w!r}::double as p
+              from c join wt using (g)
+        ), t as (
+            select min(n / p) as t from p
+        ), r as (
+            select g,
+                   floor(least(1.0::double, (p * t.t * 1.0::double) / n)
+                         * 4294967296.0::double) as thr
+              from p, t
+        ), mixed as (
+            select f.doc_id, f.w
+              from f join r on f.lang = r.g
+             where ('0x' || substring(md5(cast(f.doc_id as varchar)), 1, 8))::uint64
+                   < r.thr
+        ), ch as (
+            select doc_id, w,
+                   unnest(generate_series(0, (len(w) + 31) // 32 - 1))
+                       as chunk_idx
+              from mixed where len(w) > 0
+        )
+        select doc_id,
+               chunk_idx::bigint as chunk_idx,
+               len(w[chunk_idx*32+1 : chunk_idx*32+32])::bigint as n_tokens,
+               array_to_string(w[chunk_idx*32+1 : chunk_idx*32+32], ' ')
+                   as chunk_text
+          from ch
+    """
 
 
 def _mixture_oracle_sql() -> str:
@@ -1092,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "incremental_new": q_incremental_new,
         "chunk_documents": q_chunk_documents,
+        "webtext_pipeline": q_webtext_pipeline,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -1938,6 +2057,18 @@ def oracle_sql() -> dict[str, str]:
               from r where rn = 1
         """,
         "mixture_sample": _mixture_oracle_sql(),
+        "webtext_pipeline": _webtext_pipeline_oracle_sql(),
+        "robots_filter": """
+            select doc_id,
+                   case doc_id % 4
+                     when 0 then 'https://a.com/public/p'
+                                 || cast(doc_id as varchar)
+                     when 3 then 'https://unknown.org/x'
+                                 || cast(doc_id as varchar)
+                   end as url
+              from documents
+             where doc_id % 4 in (0, 3)
+        """,
         "chunk_documents": r"""
             with t as (
                 select doc_id,

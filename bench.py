@@ -82,6 +82,8 @@ HEADLINE_EXTRA = [
     "classifier_score",
     "incremental_new",
     "chunk_documents",
+    "webtext_pipeline",
+    "robots_filter",
 ]
 
 

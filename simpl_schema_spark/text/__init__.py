@@ -22,6 +22,7 @@ from .repetition import (  # noqa: F401
     repetition_metrics,
     top_bigram_coverage,
 )
+from .robots import filter_allowed, parse_robots_txt, robots_rules  # noqa: F401
 from .urlfilter import (  # noqa: F401
     cap_per_domain,
     filter_urls,
