@@ -32,6 +32,8 @@ __all__ = [
     "decode_image_features",
     "decode_audio_features",
     "sample_video_frames",
+    "video_near_duplicates",
+    "wav_mono_samples",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -219,6 +221,38 @@ _AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def wav_mono_samples(payload: bytes):
+    """Decode a PCM WAV payload to ``(rate, n_channels, n_frames,
+    mono_float64_samples)`` via stdlib ``wave`` — the shared real-decode
+    path for audio features and fingerprints; raises NotImplementedError
+    for non-WAV/compressed payloads (the codec plug-point)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        raise NotImplementedError(
+            "real decode of non-WAV audio requires a codec library "
+            "(ffmpeg/soundfile); not installed — use use_stub=True"
+        )
+    with wave.open(io.BytesIO(payload)) as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit PCM not supported by the stdlib decode path"
+        )
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return rate, nch, n, x
+
+
 def decode_audio_features(
     df: DataFrame,
     *,
@@ -244,33 +278,12 @@ def decode_audio_features(
     _check_on_error(on_error)
 
     def _wav_features(payload: bytes) -> tuple[int, int, float, list[float]]:
-        import io
-        import wave
-
         import numpy as np
 
-        if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
-            raise NotImplementedError(
-                "real decode of non-WAV audio requires a codec library "
-                "(ffmpeg/soundfile); not installed — use use_stub=True"
-            )
-        with wave.open(io.BytesIO(payload)) as w:
-            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-            n = w.getnframes()
-            raw = w.readframes(n)
-        if width == 2:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-        elif width == 1:
-            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
-        else:
-            raise NotImplementedError(
-                f"{8 * width}-bit PCM not supported by the stdlib decode path"
-            )
+        rate, nch, n, x = wav_mono_samples(payload)
         duration = n / float(rate) if rate else 0.0
         if x.size == 0:
             return rate, nch, duration, [0.0] * embedding_dim
-        if nch > 1:
-            x = x.reshape(-1, nch).mean(axis=1)
         segs = np.array_split(x, embedding_dim)
         rms = np.array(
             [float(np.sqrt(np.mean(s * s))) if s.size else 0.0 for s in segs]
@@ -429,3 +442,69 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=_FRAME_COLS)
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    n_frames: int = 8,
+    min_shared: int = 2,
+    max_bucket_size: int = 500,
+    use_stub: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Near-duplicate video pairs by SHARED SAMPLED-FRAME HASHES:
+    ``(id_a, id_b, n_shared)`` for pairs sharing at least ``min_shared``
+    distinct frame hashes among their ≤ ``n_frames`` sampled frames.
+
+    The video analog of the text shingle overlap: re-containered or
+    trimmed copies keep identical luma planes, so their sampled-frame
+    hashes collide even when the files differ byte-wise.  Shape: frame
+    sampling (:func:`sample_video_frames`, mapInPandas) → hot-hash
+    bounded buckets (the package's standard candidate generator — a
+    black-frame hash shared by half the corpus is capped out, not
+    pair-exploded) → in-bucket pair expansion → one count aggregation.
+    Frame HASHES shuffle, never frames.
+    """
+    from ..dedup.buckets import bounded_buckets
+
+    frames = sample_video_frames(
+        df,
+        id_col=id_col,
+        payload_col=payload_col,
+        n_frames=n_frames,
+        use_stub=use_stub,
+        on_error=on_error,
+    ).select("id", "frame_hash").distinct()
+    buckets = bounded_buckets(
+        frames, ["frame_hash"], F.col("id"),
+        max_bucket_size=max_bucket_size,
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("members"),
+                            lambda b: F.when(
+                                a < b,
+                                F.struct(
+                                    a.alias("id_a"), b.alias("id_b")
+                                ),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
