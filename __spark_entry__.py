@@ -935,6 +935,36 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (dedup/winnow.py, Schleimer et al.
+    2003): per-window minima of positional 5-gram hashes, window 4 —
+    one fused scan-side projection, zero shuffle; md5 hash family so the
+    oracle reproduces every selected hash bit-exactly."""
+    from simpl_schema_spark.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs_par(spark, sf_dir), k=5, w=4, hash_family="md5"
+    ).select(F.col("id").alias("doc_id"), "fp")
+
+
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-detection pairs from shared winnowing fingerprints
+    (dedup/winnow.fingerprint_overlap_pairs): bounded inverted index —
+    hot fingerprints dropped before any posting-list collect — on the
+    dup-seeded corpus; the oracle replays selection, hot-cap, and pair
+    counts exactly."""
+    from simpl_schema_spark.dedup import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(
+        _docs_with_dups(spark, sf_dir),
+        k=5,
+        w=4,
+        min_common=3,
+        max_fp_df=60,
+        hash_family="md5",
+    )
+
+
 def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup (dedup/incremental.new_rows):
     batch = every document's synthetic url, seen = the first 250 — with
@@ -1211,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "webtext_pipeline": q_webtext_pipeline,
         "robots_filter": q_robots_filter,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_dups": q_winnow_dups,
     }
 
 
@@ -1338,6 +1370,72 @@ def _lang_id_oracle() -> str:
                  else 'und'
                end as lang_pred
           from best
+    """
+
+
+def _winnow_cte(corpus_sql: str, k: int = 5, w: int = 4) -> str:
+    """Shared DuckDB CTE chain replaying dedup/winnow.py bit-exactly:
+    normalized tokens -> positional k-gram md5_long60 hashes -> per-window
+    minima -> distinct fingerprints, exploded as fps(id, fp)."""
+    return f"""
+        with corpus as ({corpus_sql}
+        ), norm as (
+          select id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\\p{{L}}\\p{{N}} ]', ' ', 'g'), '\\s+', ' ', 'g')) as t
+            from corpus
+        ), tokd as (
+          select id, list_filter(regexp_split_to_array(t, '\\s+'),
+                                 x -> x <> '') as toks
+            from norm
+        ), hashed as (
+          select id, case
+            when len(toks) >= {k} then
+              list_transform(range(1, len(toks) - {k} + 2),
+                j -> ('0x' || substring(md5(
+                       array_to_string(toks[j:j+{k - 1}], ' ')),
+                     1, 15))::UBIGINT::BIGINT)
+            when len(toks) > 0 then
+              [('0x' || substring(md5(array_to_string(toks, ' ')),
+                1, 15))::UBIGINT::BIGINT]
+            else [] end as hs
+            from tokd
+        ), winnowed as (
+          select id, list_distinct(case
+            when len(hs) >= {w} then
+              list_transform(range(1, len(hs) - {w} + 2),
+                             j -> list_min(hs[j:j+{w - 1}]))
+            when len(hs) > 0 then [list_min(hs)]
+            else [] end) as sel
+            from hashed
+        ), fps as (
+          select id, fp from winnowed, unnest(sel) as u(fp)
+        )
+    """
+
+
+def _winnow_fingerprints_oracle() -> str:
+    corpus = (
+        "select doc_id as id, text from documents where text is not null"
+    )
+    return _winnow_cte(corpus) + "select id as doc_id, fp from fps"
+
+
+def _winnow_dups_oracle(min_common: int = 3, max_fp_df: int = 60) -> str:
+    corpus = """
+          select doc_id as id, text from documents where text is not null
+          union all
+          select doc_id + 10000, text from documents
+           where doc_id < 20 and text is not null"""
+    return _winnow_cte(corpus) + f""",
+        hot as (
+          select fp from fps group by fp having count(*) > {max_fp_df}
+        ), live as (
+          select id, fp from fps where fp not in (select fp from hot)
+        )
+        select a.id as id_a, b.id as id_b, count(*)::bigint as n_common
+          from live a join live b on a.fp = b.fp and a.id < b.id
+         group by 1, 2 having count(*) >= {min_common}
     """
 
 
@@ -1507,6 +1605,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),
+        "winnow_fingerprints": _winnow_fingerprints_oracle(),
+        "winnow_dups": _winnow_dups_oracle(),
         "validate_modifiers": f"""
             select doc_id, 'lang' as name, 'notAllowed' as type, lang as value
               from documents where lang not in ({langs})

@@ -15,3 +15,8 @@ from .incremental import bloom_words, new_rows  # noqa: F401
 from .keepbest import keep_best  # noqa: F401
 from .lines import line_document_frequencies, remove_common_lines  # noqa: F401
 from .spans import duplicate_spans, remove_duplicate_spans  # noqa: F401
+from .winnow import (  # noqa: F401
+    fingerprint_overlap_pairs,
+    winnow,
+    winnow_fingerprints,
+)
