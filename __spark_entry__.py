@@ -965,6 +965,27 @@ def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (sessions.py): 30-minute inactivity gap
+    over the events table, per-session rollups.  ONE user-keyed shuffle —
+    the (user, session_idx) aggregation reuses the window's hash
+    partitioning (plan-pinned in tests).  Micro-exact epoch arithmetic so
+    the oracle replays every boundary decision."""
+    from simpl_schema_spark.sessions import epoch_micros, session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    st = session_stats(ev, gap_minutes=30)
+    return st.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        epoch_micros(st, "session_start").alias("start_us"),
+        epoch_micros(st, "session_end").alias("end_us"),
+        "duration_us",
+        "first_event_id",
+    )
+
+
 def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup (dedup/incremental.new_rows):
     batch = every document's synthetic url, seen = the first 250 — with
@@ -1243,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dups": q_winnow_dups,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -1607,6 +1629,33 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_oracle(),
         "winnow_fingerprints": _winnow_fingerprints_oracle(),
         "winnow_dups": _winnow_dups_oracle(),
+        "user_sessions": """
+            with s as (
+              select user_id, event_id, ts,
+                     case when lag(epoch_us(ts)) over w is null
+                            or epoch_us(ts) - lag(epoch_us(ts)) over w
+                               <= 1800000000
+                          then 0 else 1 end as brk
+                from events
+              window w as (partition by user_id order by ts, event_id)
+            ), sx as (
+              select user_id, event_id, ts,
+                     sum(brk) over (
+                       partition by user_id order by ts, event_id
+                       rows between unbounded preceding and current row
+                     ) as session_idx
+                from s
+            )
+            select user_id,
+                   session_idx::bigint as session_idx,
+                   count(*)::bigint as n_events,
+                   min(epoch_us(ts))::bigint as start_us,
+                   max(epoch_us(ts))::bigint as end_us,
+                   (max(epoch_us(ts)) - min(epoch_us(ts)))::bigint
+                       as duration_us,
+                   min(event_id)::bigint as first_event_id
+              from sx group by 1, 2
+        """,
         "validate_modifiers": f"""
             select doc_id, 'lang' as name, 'notAllowed' as type, lang as value
               from documents where lang not in ({langs})

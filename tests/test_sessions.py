@@ -1,0 +1,96 @@
+"""Gap-based sessionization (sessions.py): boundary semantics, ties,
+per-user isolation, and the one-shuffle plan shape."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from simpl_schema_spark.sessions import session_stats, sessionize
+
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, offset_minutes)."""
+    data = [(eid, uid, T0 + timedelta(minutes=m)) for eid, uid, m in rows]
+    return spark.createDataFrame(
+        data, "event_id bigint, user_id bigint, ts timestamp_ntz"
+    )
+
+
+def _idx(df):
+    return {
+        r.event_id: r.session_idx
+        for r in df.select("event_id", "session_idx").collect()
+    }
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        df = _events(spark, [(1, 7, 0), (2, 7, 10), (3, 7, 50), (4, 7, 55)])
+        idx = _idx(sessionize(df, gap_minutes=30))
+        assert idx == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_gap_exactly_equal_stays_in_session(self, spark):
+        # boundary: gap == gap_minutes stays; one microsecond more breaks
+        df = _events(spark, [(1, 7, 0), (2, 7, 30)])
+        assert _idx(sessionize(df, gap_minutes=30)) == {1: 0, 2: 0}
+        df2 = spark.createDataFrame(
+            [
+                (1, 7, T0),
+                (2, 7, T0 + timedelta(minutes=30, microseconds=1)),
+            ],
+            "event_id bigint, user_id bigint, ts timestamp_ntz",
+        )
+        assert _idx(sessionize(df2, gap_minutes=30)) == {1: 0, 2: 1}
+
+    def test_users_independent(self, spark):
+        df = _events(spark, [(1, 1, 0), (2, 2, 0), (3, 1, 90), (4, 2, 5)])
+        idx = _idx(sessionize(df, gap_minutes=30))
+        assert idx == {1: 0, 2: 0, 3: 1, 4: 0}
+
+    def test_timestamp_tie_broken_by_id(self, spark):
+        # same ts twice then a far event: deterministic indices either way
+        df = _events(spark, [(2, 7, 0), (1, 7, 0), (3, 7, 120)])
+        idx = _idx(sessionize(df, gap_minutes=30))
+        assert idx == {1: 0, 2: 0, 3: 1}
+
+
+class TestSessionStats:
+    def test_rollup_values(self, spark):
+        df = _events(spark, [(1, 7, 0), (2, 7, 10), (3, 7, 50)])
+        rows = {
+            (r.user_id, r.session_idx): r
+            for r in session_stats(df, gap_minutes=30).collect()
+        }
+        s0 = rows[(7, 0)]
+        assert s0.n_events == 2
+        assert s0.duration_us == 10 * 60_000_000
+        assert s0.first_event_id == 1
+        s1 = rows[(7, 1)]
+        assert s1.n_events == 1 and s1.duration_us == 0
+
+    def test_single_shuffle_plan(self, spark):
+        # the (user, session_idx) rollup must reuse the window's
+        # hash-partitioning on user — exactly ONE Exchange in the plan
+        df = _events(spark, [(1, 7, 0), (2, 7, 10)])
+        plan = (
+            session_stats(df, gap_minutes=30)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+
+    def test_no_unpartitioned_window(self, spark):
+        df = _events(spark, [(1, 7, 0)])
+        plan = (
+            sessionize(df, gap_minutes=30)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every Window node carries the user partition key
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "[user_id" in line, line
