@@ -986,6 +986,76 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, html): a deterministic page per document whose hrefs
+    exercise every resolve_link branch — absolute, protocol-relative,
+    root-relative, path-relative, query-only, plus mailto:/#fragment
+    links that must be dropped."""
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 41).cast("string"), F.lit(".example"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/a/b/p"), did, F.lit(".html?q=1")
+    )
+    abs_h = F.concat(
+        F.lit("h"), ((did * 7 + 1) % 41).cast("string"), F.lit(".example")
+    )
+    rel_h = F.concat(
+        F.lit("h"), ((did * 7 + 14) % 41).cast("string"), F.lit(".example")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), abs_h, F.lit("/x"), did,
+        F.lit('">abs</a>\n<link href="//'), rel_h,
+        F.lit('/lib.css" rel="x"><a href="/r'), did,
+        F.lit('">root</a><a href = "s'), did,
+        F.lit('.html">sib</a><a href="?page=2">q</a>'),
+        F.lit('<a href="mailto:a@b.c">m</a><a href="#top">t</a></body></html>'),
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + resolution (text/links.py): href harvesting
+    via one regexp_extract_all pass and CASE-shaped RFC-style resolution,
+    all scan-fused JVM expressions (zero shuffles — plan-pinned in
+    tests).  The ORACLE derives every expected absolute link
+    independently from doc_id, so each resolution branch is
+    cross-engine-pinned."""
+    from simpl_schema_spark.text import extract_outlinks
+
+    return extract_outlinks(_synth_page(spark, sf_dir)).select(
+        "doc_id", "outlink"
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (text/links.host_edges + graph.pagerank):
+    weighted host edges from a deterministic link table (sources ≡3 mod 7
+    emit nothing → real dangling mass), 3 damped power iterations with
+    dangling redistribution.  The edge table is hash-partitioned by src
+    once; iterations shuffle only the vertex-sized rank table.  The
+    ORACLE unrolls the same 3 iterations as chained CTEs."""
+    from simpl_schema_spark.graph import pagerank
+    from simpl_schema_spark.text import host_edges
+
+    did = F.col("doc_id")
+    s = did % 41
+    links = None
+    for k in range(3):
+        d = (did * 7 + 13 * k + 1) % 41
+        part = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://h"), s.cast("string"),
+                     F.lit(".example/p"), did).alias("url"),
+            F.concat(F.lit("https://h"), d.cast("string"),
+                     F.lit(".example/q")).alias("outlink"),
+        ).where((s % 7) != 3)
+        links = part if links is None else links.unionByName(part)
+    edges = host_edges(links)
+    ranks = pagerank(edges, weight="n_links", iterations=3, checkpoint_every=0)
+    return ranks.select(
+        F.col("id").alias("host"), F.round("rank", 9).alias("rank")
+    )
+
+
 def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup (dedup/incremental.new_rows):
     batch = every document's synthetic url, seen = the first 250 — with
@@ -1265,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dups": q_winnow_dups,
         "user_sessions": q_user_sessions,
+        "outlinks": q_outlinks,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -1621,9 +1693,96 @@ def _simhash_oracle(
     """
 
 
+_OUTLINKS_ORACLE = """
+    with d as (select doc_id, (doc_id % 41)::varchar as m from documents)
+    select doc_id,
+           'https://h' || ((doc_id*7 + 1) % 41)::varchar
+               || '.example/x' || doc_id::varchar as outlink
+      from d
+    union all
+    select doc_id,
+           'https://h' || ((doc_id*7 + 14) % 41)::varchar
+               || '.example/lib.css'
+      from d
+    union all
+    select doc_id, 'https://h' || m || '.example/r' || doc_id::varchar from d
+    union all
+    select doc_id,
+           'https://h' || m || '.example/a/b/s' || doc_id::varchar || '.html'
+      from d
+    union all
+    select doc_id, 'https://h' || m || '.example/a/b/?page=2' from d
+"""
+
+
+def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
+    """DuckDB replay of q_host_pagerank — the same deterministic link
+    table, host_edges' self-loop-dropping weighted aggregation, and
+    graph.pagerank's damped power iteration with dangling-mass
+    redistribution UNROLLED as one CTE per iteration.  Every float op
+    (init 1/N, (1-0.85)/N base, per-edge fractions, dm/N) mirrors the
+    Spark expression sequence; sums differ only in accumulation order,
+    absorbed by the final round(rank, 9)."""
+    link_branches = "\n      union all\n".join(
+        f"""      select (doc_id % {n_hosts}) as s,
+             ((doc_id*7 + {13 * k + 1}) % {n_hosts}) as d
+        from documents where (doc_id % {n_hosts}) % 7 <> 3"""
+        for k in range(3)
+    )
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    r{i} as (
+      select v.id,
+             (cast(1 as double) - cast(0.85 as double)) / nn.n
+             + cast(0.85 as double)
+               * (coalesce(c.contrib, cast(0 as double)) + dg.dm / nn.n)
+               as rank
+        from verts v
+        left join (
+          select t.d as id, sum(r.rank * t.frac) as contrib
+            from trans t join {prev} r on r.id = t.s
+           group by t.d
+        ) c using (id)
+        cross join (
+          select coalesce(sum(rank), cast(0 as double)) as dm
+            from {prev} where id not in (select s from outw)
+        ) dg
+        cross join nn
+    )""")
+        prev = f"r{i}"
+    return f"""
+    with links as (
+{link_branches}
+    ),
+    edges as (
+      select s, d, count(*)::double as w
+        from links where s <> d group by s, d
+    ),
+    outw as (select s, sum(w) as ow from edges group by s),
+    trans as (
+      select e.s, e.d, e.w / o.ow as frac
+        from edges e join outw o using (s)
+    ),
+    verts as (
+      select s as id from edges union select d from edges
+    ),
+    nn as (select count(*)::double as n from verts),
+    r0 as (
+      select id, cast(1 as double) / nn.n as rank from verts cross join nn
+    ),{",".join(its)}
+    select 'h' || id::varchar || '.example' as host,
+           round(rank, 9) as rank
+      from {prev}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     langs = ", ".join(f"'{l}'" for l in _ALLOWED_LANGS)
     return {
+        "outlinks": _OUTLINKS_ORACLE,
+        "host_pagerank": _host_pagerank_oracle(),
         "lang_id": _lang_id_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),

@@ -1,0 +1,126 @@
+"""Iterative PageRank over a (weighted) edge DataFrame.
+
+Host-level PageRank is the standard web-corpus quality prior (Common
+Crawl publishes exactly this as its host-level ranking); downstream it
+feeds quality filtering and crawl prioritization.  No reference analog —
+this is a training-data-pipeline operator over the link graph that
+:mod:`.text.links` extracts.
+
+Algorithm: classic power iteration with damping ``d`` and dangling-mass
+redistribution::
+
+    rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u) * w(u,v)/out_w(u)
+                               + dangling_mass / N )
+
+where ``dangling_mass = Σ rank(u)`` over vertices with no out-edges —
+dropping it (as naive implementations do) leaks probability mass and
+under-ranks everything reachable only from sinks.
+
+Scale shape per iteration: the edge table is joined to the rank table on
+the SOURCE key and re-aggregated on the DESTINATION key — two shuffles,
+both on vertex ids.  The edge table is hash-partitioned by source ONCE
+and persisted, so iterations shuffle only the (id, rank) table (vertex-
+count-sized, tiny next to edges).  The dangling term is a 1-row lazy
+aggregate cross-joined back (broadcast; no per-iteration driver action).
+Previous-iteration caches are released each step and the lineage is cut
+with ``localCheckpoint`` every ``checkpoint_every`` iterations — the two
+classic iterative-Spark failure modes (cache accumulation, unbounded
+plan growth).  Skewed in-degree (everyone links to google.com) is safe:
+the dst-side aggregation is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: Optional[str] = None,
+    *,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """``(id, rank)`` after ``iterations`` power steps from uniform 1/N.
+
+    ``weight`` (optional) is a per-edge positive weight column (e.g.
+    ``n_links`` from :func:`..text.links.host_edges`); omitted, every
+    edge weighs 1.  Parallel edges are summed into one weighted edge.
+    Vertices = every id appearing as src or dst.  Ranks sum to 1 (up to
+    float error) because dangling mass is redistributed.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    # collapse parallel edges, then attach each source's total out-weight
+    # → per-edge transition fraction. Partitioned by src once so every
+    # iteration's rank join co-locates without re-shuffling the edges.
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+        .repartition("src")
+        .persist()
+    )
+
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()  # scalar: needed in the (1-d)/N literal
+    src_ids = out_w.select(F.col("src").alias("id"))
+
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).persist()
+    base = F.lit((1.0 - damping) / n)
+    for it in range(iterations):
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(src_ids, "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        new_ranks = (
+            vertices.join(contribs, vertices["id"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+        ranks.unpersist(blocking=False)
+        ranks = new_ranks
+
+    trans.unpersist(blocking=False)
+    vertices.unpersist(blocking=False)
+    return ranks
