@@ -1056,6 +1056,25 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (text/lm.py): train an
+    add-k smoothed bigram model on the doc_id%10<8 slice, score EVERY
+    document's average negative log-likelihood under it.  Training is
+    two map-side-combinable counts; scoring joins the (small) model
+    tables — AQE broadcasts them (plan-pinned in tests) so the corpus
+    never shuffles on the skewed bigram key.  The ORACLE replays
+    tokenization, counts, and the exact smoothing-formula float sequence
+    in DuckDB; round(…, 6) absorbs sum-order and ln() ulp noise."""
+    from simpl_schema_spark.text import lm_avg_nll, train_bigram_lm
+
+    d = _docs(spark, sf_dir)
+    lm = train_bigram_lm(d.where(F.col("doc_id") % 10 < 8))
+    out = lm_avg_nll(d, lm)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_nll", 6).alias("avg_nll")
+    )
+
+
 def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup (dedup/incremental.new_rows):
     batch = every document's synthetic url, seen = the first 250 — with
@@ -1337,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "outlinks": q_outlinks,
         "host_pagerank": q_host_pagerank,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -1778,11 +1798,51 @@ def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
 """
 
 
+_LM_PERPLEXITY_ORACLE = """
+    with tok as (
+      select doc_id,
+             list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+               t -> t <> '') as toks
+        from documents
+    ),
+    train_bi as (
+      select u.z[1] as w1, u.z[2] as w2
+        from tok, unnest(list_zip(toks[:-2], toks[2:])) as u(z)
+       where doc_id % 10 < 8
+    ),
+    c2 as (select w1, w2, count(*) as c2 from train_bi group by w1, w2),
+    c1 as (
+      select u.w as w1, count(*) as c1
+        from tok, unnest(toks) as u(w)
+       where doc_id % 10 < 8
+       group by u.w
+    ),
+    vv as (select count(*)::double as v from c1),
+    score_bi as (
+      select doc_id, u.z[1] as w1, u.z[2] as w2
+        from tok, unnest(list_zip(toks[:-2], toks[2:])) as u(z)
+    )
+    select s.doc_id,
+           count(*) as n_bigrams,
+           round(avg(-ln(
+             (coalesce(c2.c2, 0)::double + cast(0.1 as double))
+             / (coalesce(c1.c1, 0)::double + cast(0.1 as double) * vv.v)
+           )), 6) as avg_nll
+      from score_bi s
+      left join c2 using (w1, w2)
+      left join c1 using (w1)
+      cross join vv
+     group by s.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     langs = ", ".join(f"'{l}'" for l in _ALLOWED_LANGS)
     return {
         "outlinks": _OUTLINKS_ORACLE,
         "host_pagerank": _host_pagerank_oracle(),
+        "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "lang_id": _lang_id_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),

@@ -17,6 +17,7 @@ from .encoding import (  # noqa: F401
 )
 from .html import html_to_text  # noqa: F401
 from .links import extract_outlinks, host_edges, resolve_link  # noqa: F401
+from .lm import BigramLM, lm_avg_nll, train_bigram_lm  # noqa: F401
 from .pii import PII_PATTERNS, pii_counts, redact_pii  # noqa: F401
 from .repetition import (  # noqa: F401
     duplicate_line_fraction,
