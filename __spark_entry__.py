@@ -1056,6 +1056,34 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-term profiles (text/links.extract_anchors +
+    anchor_term_profile): per-doc synthetic pages carry two <a> elements
+    (one with nested markup to exercise tag stripping), anchors explode
+    to terms, and each TARGET host keeps its top-3 terms by (count desc,
+    term asc) via the two-stage bounded top-n — no per-host window.
+    The ORACLE derives hosts/terms independently from doc_id and ranks
+    with a QUALIFY window, pinning both extraction and tie-breaks."""
+    from simpl_schema_spark.text import anchor_term_profile, extract_anchors
+
+    did = F.col("doc_id")
+    a_h = ((did * 7 + 1) % 41).cast("string")
+    b_h = ((did * 3 + 2) % 41).cast("string")
+    w = (did % 13).cast("string")
+    v = (did % 5).cast("string")
+    html = F.concat(
+        F.lit('<p><a href="https://h'), a_h, F.lit('.example/x"><b>w'), w,
+        F.lit("</b> v"), v, F.lit('</a><a href="https://h'), b_h,
+        F.lit('.example/y">w'), w, F.lit("</a></p>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://src"), did, F.lit(".example/p")).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_term_profile(extract_anchors(pages), k=3)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM quality scoring (text/lm.py): train an
     add-k smoothed bigram model on the doc_id%10<8 slice, score EVERY
@@ -1357,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         "host_pagerank": q_host_pagerank,
         "lm_perplexity": q_lm_perplexity,
+        "anchor_profile": q_anchor_profile,
     }
 
 
@@ -1843,6 +1872,29 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": _OUTLINKS_ORACLE,
         "host_pagerank": _host_pagerank_oracle(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "anchor_profile": """
+            with a as (
+              select 'h' || ((doc_id*7 + 1) % 41)::varchar || '.example'
+                         as dst_host,
+                     'w' || (doc_id % 13)::varchar as term
+                from documents
+              union all
+              select 'h' || ((doc_id*7 + 1) % 41)::varchar || '.example',
+                     'v' || (doc_id % 5)::varchar
+                from documents
+              union all
+              select 'h' || ((doc_id*3 + 2) % 41)::varchar || '.example',
+                     'w' || (doc_id % 13)::varchar
+                from documents
+            ), c as (
+              select dst_host, term, count(*) as n
+                from a group by dst_host, term
+            )
+            select dst_host, term, n from c
+            qualify row_number() over (
+              partition by dst_host order by n desc, term
+            ) <= 3
+        """,
         "lang_id": _lang_id_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash_near_dups": _simhash_oracle(),

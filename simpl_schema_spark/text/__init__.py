@@ -16,7 +16,13 @@ from .encoding import (  # noqa: F401
     strip_control_chars,
 )
 from .html import html_to_text  # noqa: F401
-from .links import extract_outlinks, host_edges, resolve_link  # noqa: F401
+from .links import (  # noqa: F401
+    anchor_term_profile,
+    extract_anchors,
+    extract_outlinks,
+    host_edges,
+    resolve_link,
+)
 from .lm import BigramLM, lm_avg_nll, train_bigram_lm  # noqa: F401
 from .pii import PII_PATTERNS, pii_counts, redact_pii  # noqa: F401
 from .repetition import (  # noqa: F401

@@ -32,7 +32,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["extract_outlinks", "resolve_link", "host_edges"]
+__all__ = [
+    "extract_outlinks",
+    "resolve_link",
+    "host_edges",
+    "extract_anchors",
+    "anchor_term_profile",
+]
 
 #: href attribute matcher — double-quoted values on any tag
 _HREF_RE = r'href\s*=\s*"([^"]*)"'
@@ -96,6 +102,107 @@ def extract_outlinks(
     return (
         exploded.select(*keep, resolved.alias(out_col))
         .where(F.col(out_col).isNotNull())
+    )
+
+
+#: a full <a ...href="..."...>INNER</a> element, non-greedy, newline-safe
+_ANCHOR_RE = r'(?s)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>.*?</a>'
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    *,
+    link_col: str = "outlink",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """One row per ``<a>`` element: resolved target + visible anchor text.
+
+    Anchor text is the element's inner content with nested tags stripped
+    (``<b>``/``<img>``/…), whitespace collapsed, and edges trimmed —
+    empty anchors (image-only links) survive as ``''`` so callers can
+    measure text-less-link rates.  Same scan-fused shape as
+    :func:`extract_outlinks` (regexp_extract_all + per-element
+    projection, zero shuffles); rows whose href does not resolve are
+    dropped.
+    """
+    keep = [c for c in df.columns if c != html_col]
+    elems = df.select(
+        *keep,
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 0)
+        ).alias("__a"),
+    )
+    href = F.regexp_extract(F.col("__a"), r'href\s*=\s*"([^"]*)"', 1)
+    inner = F.regexp_replace(F.col("__a"), r"(?s)^<a[^>]*>|</a>$", "")
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return (
+        elems.select(
+            *keep,
+            resolve_link(href, F.col(url_col)).alias(link_col),
+            text.alias(anchor_col),
+        )
+        .where(F.col(link_col).isNotNull())
+    )
+
+
+def anchor_term_profile(
+    anchors: DataFrame,
+    link_col: str = "outlink",
+    anchor_col: str = "anchor",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` incoming anchor terms per TARGET host:
+    ``(dst_host, term, n)`` — what the web calls each destination
+    (search/quality pipelines use incoming anchor text as an off-page
+    relevance signal precisely because the target didn't write it).
+
+    Terms are lowercase whitespace tokens of the anchor text.  One
+    map-side-combinable count shuffle, then the repo's two-stage bounded
+    top-n (NOT a per-host window: a hub host's term list would funnel
+    through one task) ordered by (n desc, term asc) — comparator-based,
+    no ANSI-unsafe count negation.  Ties are deterministic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .analysis import word_tokens
+    from .urls import url_host
+
+    counts = (
+        anchors.select(
+            url_host(F.col(link_col)).alias("dst_host"),
+            F.explode(word_tokens(F.lower(F.col(anchor_col)))).alias("term"),
+        )
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    item = F.struct(F.col("n"), F.col("term"))
+
+    def _cmp(a, b):
+        return (
+            F.when(a["n"] > b["n"], F.lit(-1))
+            .when(a["n"] < b["n"], F.lit(1))
+            .when(a["term"] < b["term"], F.lit(-1))
+            .when(a["term"] > b["term"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    partial = counts.groupBy(
+        F.col("dst_host"), F.spark_partition_id().alias("__pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(item), _cmp), 1, k).alias("__c"))
+    merged = partial.groupBy("dst_host").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__c")), _cmp), 1, k
+        ).alias("__top")
+    )
+    return merged.select("dst_host", F.explode("__top").alias("__e")).select(
+        "dst_host", F.col("__e.term").alias("term"), F.col("__e.n").alias("n")
     )
 
 

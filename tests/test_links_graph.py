@@ -8,7 +8,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from simpl_schema_spark.graph import pagerank
-from simpl_schema_spark.text.links import extract_outlinks, host_edges, resolve_link
+from simpl_schema_spark.text.links import (
+    anchor_term_profile,
+    extract_anchors,
+    extract_outlinks,
+    host_edges,
+    resolve_link,
+)
 
 
 def _resolve_one(spark, link, base):
@@ -82,6 +88,69 @@ class TestExtractOutlinks:
             "doc_id bigint, url string, html string",
         )
         assert extract_outlinks(df).count() == 2
+
+
+class TestExtractAnchors:
+    def test_inner_text_and_targets(self, spark):
+        html = (
+            '<a href="/a"><b>Bold</b> link</a>'
+            '<a class="x" href="b.html">plain\n  text</a>'
+            '<a href="/img"><img src="i.png"></a>'
+            '<a href="mailto:x@y.z">dropped</a>'
+        )
+        df = spark.createDataFrame(
+            [(1, "https://h.com/d/p", html)],
+            "doc_id bigint, url string, html string",
+        )
+        got = sorted(
+            (r.outlink, r.anchor)
+            for r in extract_anchors(df).collect()
+        )
+        assert got == [
+            ("https://h.com/a", "Bold link"),
+            ("https://h.com/d/b.html", "plain text"),
+            ("https://h.com/img", ""),  # image-only link survives, empty
+        ]
+
+
+class TestAnchorTermProfile:
+    def test_topk_order_and_ties(self, spark):
+        rows = [
+            ("https://t.com/1", "great site"),
+            ("https://t.com/2", "great docs"),
+            ("https://t.com/3", "GREAT"),
+            ("https://other.io/x", "zzz"),
+        ]
+        df = spark.createDataFrame(rows, "outlink string, anchor string")
+        got = [
+            (r.dst_host, r.term, r.n)
+            for r in anchor_term_profile(df, k=2)
+            .orderBy("dst_host", F.desc("n"), "term")
+            .collect()
+        ]
+        # t.com: great=3 wins; docs/site tie at 1 -> term asc keeps 'docs'
+        assert got == [
+            ("other.io", "zzz", 1),
+            ("t.com", "great", 3),
+            ("t.com", "docs", 1),
+        ]
+
+    def test_rejects_bad_k(self, spark):
+        df = spark.createDataFrame([("https://a.b/c", "x")], "outlink string, anchor string")
+        with pytest.raises(ValueError):
+            anchor_term_profile(df, k=0)
+
+    def test_no_per_host_window(self, spark):
+        df = spark.createDataFrame(
+            [("https://a.b/c", "x y")], "outlink string, anchor string"
+        )
+        plan = (
+            anchor_term_profile(df)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Window" not in plan, plan
 
 
 class TestHostEdges:
