@@ -78,6 +78,14 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> BigramLM:
     )
     uni = df.select(F.explode(toks).alias("w1"))
     unigrams = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # persist the (model-sized) count tables: scoring's two broadcast
+    # builds and the vocab-size aggregate would otherwise each re-scan
+    # the training corpus.  Registered for deferred release per the
+    # repo's cache lifecycle (callers drop them via release_tracked()).
+    from ..cache import track
+
+    bigrams = track(bigrams.persist())
+    unigrams = track(unigrams.persist())
     vocab_size = unigrams.agg(F.count(F.lit(1)).cast("double").alias("v"))
     return BigramLM(bigrams, unigrams, vocab_size)
 
