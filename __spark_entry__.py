@@ -1084,6 +1084,30 @@ def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_term_profile(extract_anchors(pages), k=3)
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (text/unicodenorm.py): the repo's
+    one genuinely-Python text operator, as a vectorized pandas UDF
+    (Arrow batches — never row-at-a-time).  Each document gets a
+    decomposed combining-mark suffix appended (e+U+0301, A+U+030A,
+    e+U+0308+U+0301) so the query exercises real canonical composition,
+    not an ASCII identity; the ORACLE is DuckDB's nfc_normalize over
+    the same construction."""
+    from simpl_schema_spark.text import nfc_normalize
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    decomposed = F.concat(
+        F.col("text"),
+        # explicit escapes: decomposed on the wire, never silently
+        # precomposed by a source-file normalizer
+        F.lit(" e\u0301 A\u030A e\u0308\u0301"),
+    )
+    return d.select(
+        "doc_id",
+        nfc_normalize(decomposed).alias("nfc_text"),
+        F.length(nfc_normalize(decomposed)).alias("nfc_len"),
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM quality scoring (text/lm.py): train an
     add-k smoothed bigram model on the doc_id%10<8 slice, score EVERY
@@ -1386,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "lm_perplexity": q_lm_perplexity,
         "anchor_profile": q_anchor_profile,
+        "nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -1872,6 +1897,19 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": _OUTLINKS_ORACLE,
         "host_pagerank": _host_pagerank_oracle(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "nfc_normalize": """
+            select doc_id,
+                   nfc_normalize(
+                     text || ' e' || chr(769) || ' A' || chr(778)
+                          || ' e' || chr(776) || chr(769)
+                   ) as nfc_text,
+                   length(nfc_normalize(
+                     text || ' e' || chr(769) || ' A' || chr(778)
+                          || ' e' || chr(776) || chr(769)
+                   )) as nfc_len
+              from documents
+             where text is not null
+        """,
         "anchor_profile": """
             with a as (
               select 'h' || ((doc_id*7 + 1) % 41)::varchar || '.example'

@@ -24,6 +24,7 @@ from .links import (  # noqa: F401
     resolve_link,
 )
 from .lm import BigramLM, lm_avg_nll, train_bigram_lm  # noqa: F401
+from .unicodenorm import nfc_normalize  # noqa: F401
 from .pii import PII_PATTERNS, pii_counts, redact_pii  # noqa: F401
 from .repetition import (  # noqa: F401
     duplicate_line_fraction,
