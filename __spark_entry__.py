@@ -1084,6 +1084,58 @@ def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_term_profile(extract_anchors(pages), k=3)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-frontier scheduling — the link-graph operators
+    end-to-end: extract+resolve outlinks → drop URLs the previous crawl
+    (docs < 250) already discovered (left-anti) → robots politeness
+    (every host ≡1 mod 3 disallows /r; unknown hosts default-allow) →
+    rank each candidate by its target host's PageRank → global top-200
+    by (rank desc, url asc).  Scale shape: extraction is scan-fused, the
+    anti-join and the rank join are AQE-decided, PageRank iterates over
+    the host-sized graph, and the final top-200 is TakeOrderedAndProject
+    (per-partition heads, no global sort materialization)."""
+    from simpl_schema_spark.graph import pagerank
+    from simpl_schema_spark.text import (
+        extract_outlinks,
+        filter_allowed,
+        host_edges,
+        robots_rules,
+        url_host,
+    )
+
+    pages = _synth_page(spark, sf_dir)
+    out = extract_outlinks(pages)
+    prev = extract_outlinks(pages.where(F.col("doc_id") < 250)).select(
+        "outlink"
+    )
+    new = (
+        out.select("outlink").distinct().join(prev, "outlink", "left_anti")
+    )
+    bodies = (
+        spark.range(41)
+        .where(F.col("id") % 3 == 1)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string"),
+                     F.lit(".example")).alias("domain"),
+            F.lit("User-agent: *\nDisallow: /r").alias("robots_txt"),
+        )
+    )
+    allowed = filter_allowed(new, robots_rules(bodies), url_col="outlink")
+    pr = pagerank(
+        host_edges(out), weight="n_links", iterations=3, checkpoint_every=0
+    ).withColumnRenamed("id", "host")
+    ranked = allowed.join(
+        pr, url_host(F.col("outlink")) == F.col("host")
+    )
+    return (
+        ranked.select(
+            "outlink", "host", F.round("rank", 9).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "outlink")
+        .limit(200)
+    )
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (text/unicodenorm.py): the repo's
     one genuinely-Python text operator, as a vectorized pandas UDF
@@ -1411,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "anchor_profile": q_anchor_profile,
         "nfc_normalize": q_nfc_normalize,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -1789,20 +1842,15 @@ _OUTLINKS_ORACLE = """
 """
 
 
-def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
-    """DuckDB replay of q_host_pagerank — the same deterministic link
-    table, host_edges' self-loop-dropping weighted aggregation, and
-    graph.pagerank's damped power iteration with dangling-mass
-    redistribution UNROLLED as one CTE per iteration.  Every float op
-    (init 1/N, (1-0.85)/N base, per-edge fractions, dm/N) mirrors the
-    Spark expression sequence; sums differ only in accumulation order,
-    absorbed by the final round(rank, 9)."""
-    link_branches = "\n      union all\n".join(
-        f"""      select (doc_id % {n_hosts}) as s,
-             ((doc_id*7 + {13 * k + 1}) % {n_hosts}) as d
-        from documents where (doc_id % {n_hosts}) % 7 <> 3"""
-        for k in range(3)
-    )
+def _pagerank_ctes(iterations: int = 3) -> str:
+    """CTE chain replaying graph.pagerank in DuckDB — expects a prior
+    CTE ``links(s, d)`` of raw (possibly self-loop / parallel) edges;
+    defines ``edges → outw → trans → verts → nn → r0 … r{iterations}``.
+    host_edges' self-loop drop and weight aggregation live in ``edges``;
+    each ``r{i}`` unrolls one damped power step with dangling-mass
+    redistribution.  Every float op (init 1/N, (1-0.85)/N base, per-edge
+    fractions, dm/N) mirrors the Spark expression sequence; sums differ
+    only in accumulation order, absorbed by callers' round(rank, 9)."""
     its = []
     prev = "r0"
     for i in range(1, iterations + 1):
@@ -1827,9 +1875,6 @@ def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
     )""")
         prev = f"r{i}"
     return f"""
-    with links as (
-{link_branches}
-    ),
     edges as (
       select s, d, count(*)::double as w
         from links where s <> d group by s, d
@@ -1845,10 +1890,67 @@ def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
     nn as (select count(*)::double as n from verts),
     r0 as (
       select id, cast(1 as double) / nn.n as rank from verts cross join nn
-    ),{",".join(its)}
+    ),{",".join(its)}"""
+
+
+def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
+    """DuckDB replay of q_host_pagerank: its deterministic dangling-host
+    link table + the shared :func:`_pagerank_ctes` unrolled iteration."""
+    link_branches = "\n      union all\n".join(
+        f"""      select (doc_id % {n_hosts}) as s,
+             ((doc_id*7 + {13 * k + 1}) % {n_hosts}) as d
+        from documents where (doc_id % {n_hosts}) % 7 <> 3"""
+        for k in range(3)
+    )
+    return f"""
+    with links as (
+{link_branches}
+    ),
+    {_pagerank_ctes(iterations)}
     select 'h' || id::varchar || '.example' as host,
            round(rank, 9) as rank
-      from {prev}
+      from r{iterations}
+"""
+
+
+def _crawl_frontier_oracle(iterations: int = 3) -> str:
+    """DuckDB replay of q_crawl_frontier: the outlinks oracle as a CTE,
+    anti-join against the doc_id<250 crawl, the ≡1-mod-3 robots
+    disallow-/r policy as arithmetic, the frontier link table, the
+    shared pagerank CTE chain, and the same (rank desc, url asc)
+    top-200 cut — deterministic because ranks are rounded BEFORE the
+    order/limit and outlink is unique after the distinct."""
+    return f"""
+    with ol as ({_OUTLINKS_ORACLE}),
+    newl as (
+      select distinct outlink from ol
+       where outlink not in (select outlink from ol where doc_id < 250)
+    ),
+    allowed as (
+      select outlink,
+             lower(regexp_extract(outlink, '^[^/?#]*//([^/?#]*)', 1)) as host
+        from newl
+       where not (
+         (regexp_extract(outlink, '^https://h([0-9]+)\\.example', 1)::bigint
+            % 3 = 1)
+         and regexp_matches(outlink, '^https://[^/?#]*/r')
+       )
+    ),
+    links as (
+      select (doc_id % 41) as s, ((doc_id*7 + 1) % 41) as d from documents
+      union all
+      select (doc_id % 41), ((doc_id*7 + 14) % 41) from documents
+    ),
+    {_pagerank_ctes(iterations)},
+    pr as (
+      select 'h' || id::varchar || '.example' as host,
+             round(rank, 9) as rank
+        from r{iterations}
+    )
+    select a.outlink, a.host, pr.rank
+      from allowed a join pr using (host)
+     order by pr.rank desc, a.outlink
+     limit 200
 """
 
 
@@ -1897,6 +1999,7 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": _OUTLINKS_ORACLE,
         "host_pagerank": _host_pagerank_oracle(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "crawl_frontier": _crawl_frontier_oracle(),
         "nfc_normalize": """
             select doc_id,
                    nfc_normalize(
