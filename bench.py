@@ -84,7 +84,28 @@ HEADLINE_EXTRA = [
     "chunk_documents",
     "webtext_pipeline",
     "robots_filter",
+    "winnow_fingerprints",
+    "winnow_dups",
+    "user_sessions",
+    "outlinks",
+    "host_pagerank",
+    "lm_perplexity",
+    "anchor_profile",
+    "nfc_normalize",
+    "crawl_frontier",
 ]
+
+
+def _check_headline_complete() -> None:
+    """Every queries() entry must be benchmarked — a new contract query
+    that never lands in HEADLINE_EXTRA silently escapes the per-round
+    perf record (exactly how this list drifted 9 queries behind once)."""
+    import __spark_entry__ as entry_mod
+
+    missing = sorted(set(entry_mod.queries()) - set(HEADLINE + HEADLINE_EXTRA))
+    if missing:
+        print(f"WARNING: queries missing from bench lists: {missing}",
+              file=sys.stderr)
 
 
 def make_spark(cores: int, shuffle_partitions: int | None = None):
@@ -142,6 +163,8 @@ def _sentinel_plan(spark):
 
 def run_headline() -> None:
     import __spark_entry__ as entry_mod
+
+    _check_headline_complete()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -56,6 +56,20 @@ def positional_kgram_hashes(
     than k tokens hash the whole token run as one gram (mirroring
     :func:`~simpl_schema_spark.dedup.minhash.shingles`); empty text is an
     empty array."""
+    toks = word_tokens(normalized_text(text))
+    return _kgram_hashes_from_tokens(toks, k, hash_family=hash_family)
+
+
+def _kgram_hashes_from_tokens(
+    toks: Column, k: int, *, hash_family: str
+) -> Column:
+    """:func:`positional_kgram_hashes` over an already-built token array.
+
+    Callers on a hot path MUST pass ``toks`` as a staged column
+    reference, not a raw expression: the gram lambda references the
+    token array once per position, and CSE does not enter HOF lambdas
+    (BENCH/ROUND4.md) — an inlined tokenizer expression re-runs its
+    regexes O(n) times per document."""
     if hash_family == "md5":
         hash_one = md5_long60
     elif hash_family == "xxhash64":
@@ -66,7 +80,6 @@ def positional_kgram_hashes(
         raise ValueError(
             f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
         )
-    toks = word_tokens(normalized_text(text))
     n = F.size(toks)
     grams = (
         F.when(
@@ -85,7 +98,12 @@ def positional_kgram_hashes(
 def winnow(hashes: Column, w: int = 4) -> Column:
     """Distinct per-window minima of a positional hash sequence — the
     winnowed fingerprint set.  Fewer than w hashes -> the global min (the
-    whole document is one window)."""
+    whole document is one window).
+
+    ``hashes`` MUST be a staged column reference on any hot path — the
+    window lambda references it O(m) times and CSE does not enter HOF
+    lambdas, so an inlined hash-building expression re-evaluates per
+    window (see winnow_fingerprints for the staged composition)."""
     m = F.size(hashes)
     selected = (
         F.when(
@@ -113,13 +131,23 @@ def winnow_fingerprints(
     """Exploded ``(id, fp)`` fingerprint table, one row per distinct
     selected hash per document.  One scan, zero shuffle — the output is
     exchange-ready 16-byte rows."""
-    hashes = positional_kgram_hashes(F.col(text_col), k, hash_family=hash_family)
+    # STAGE each array as a named column before the next HOF consumes
+    # it: the gram lambda references the token array O(n) times and the
+    # window lambda references the hash array O(m) times, and CSE does
+    # not enter HOF lambdas (BENCH/ROUND4.md) — inlined, tokenization
+    # re-runs per gram and the whole O(m·k) hashing re-runs PER WINDOW,
+    # turning the scan into O(m²·k) per document (measured 15x+ at
+    # sf0.1).  As separate multi-referenced projection outputs,
+    # Catalyst's CollapseProject keeps each materialized once per row.
+    toks = word_tokens(normalized_text(F.col(text_col)))
+    hashes = _kgram_hashes_from_tokens(
+        F.col("__toks"), k, hash_family=hash_family
+    )
     return (
         df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(winnow(hashes, w)).alias("fp"),
-        )
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", hashes.alias("__h"))
+        .select("id", F.explode(winnow(F.col("__h"), w)).alias("fp"))
     )
 
 

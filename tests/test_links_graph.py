@@ -253,3 +253,13 @@ class TestPagerank:
         out = pagerank(df, iterations=2, checkpoint_every=0)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "InMemoryRelation" in plan or "LogicalRDD" in plan
+
+
+def test_bench_lists_cover_queries():
+    # every contract query must be in bench.py's run lists — silently
+    # unbenchmarked operators drift out of the per-round perf record
+    import bench
+    import __spark_entry__ as em
+
+    missing = set(em.queries()) - set(bench.HEADLINE + bench.HEADLINE_EXTRA)
+    assert not missing, f"queries missing from bench lists: {sorted(missing)}"
