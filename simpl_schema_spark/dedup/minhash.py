@@ -33,6 +33,7 @@ from .buckets import bounded_buckets
 
 __all__ = [
     "shingles",
+    "shingles_from_tokens",
     "md5_permutation_family",
     "minhash_signature",
     "minhash_signature_udf",
@@ -131,8 +132,19 @@ def _xxh64_long(v, seed):
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of normalized text."""
-    toks = word_tokens(normalized_text(text))
+    """Distinct word k-gram shingles of normalized text.
+
+    Convenience composition for one-off use; HOT paths must stage the
+    token array first and call :func:`shingles_from_tokens` — the gram
+    lambda references the token array per position and CSE does not
+    enter HOF lambdas (BENCH/ROUND4-5.md), so an inlined tokenizer
+    re-runs its regexes O(n) times per document."""
+    return shingles_from_tokens(word_tokens(normalized_text(text)), k)
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """:func:`shingles` over an already-built (ideally staged-column)
+    token array."""
     n = F.size(toks)
     grams = F.when(
         n >= k,
@@ -351,12 +363,16 @@ def minhash_near_duplicates(
     # into one projection re-evaluates the expensive text pipeline several
     # times per row (measured 3x wall at sf0.1).  persist + count pins the
     # computed arrays.
+    # (toks staged as its own projection first: the gram lambda inside
+    # shingles references the token array per position — an inlined
+    # tokenizer would re-run its regexes O(n) times per document)
     sets = (
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            shingles(F.col(text_col), k).alias("sh"),
+            word_tokens(normalized_text(F.col(text_col))).alias("__toks"),
         )
+        .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
         .persist()
     )
     sets.count()

@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .minhash import shingles
+from ..text.analysis import normalized_text, word_tokens
+from .minhash import shingles_from_tokens
 
 __all__ = ["ngram_jaccard_pairs", "jaccard"]
 
@@ -47,17 +48,24 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 100,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs ``(id_a, id_b, jaccard)`` ≥ threshold."""
-    # the shingle pipeline is referenced exactly ONCE here (hash+distinct
-    # consumes `g` in a single expression), so it fuses into this one
-    # projection safely — no intermediate string-shingle cache needed.
-    # (Multi-referenced pipelines DO need staging — see minhash.py.)
+    # toks staged as its own projection FIRST: shingles' gram lambda
+    # references the token array per position, and CSE does not enter
+    # HOF lambdas — inlined, the tokenizer regexes re-run O(n) times per
+    # document (the winnow trap, BENCH/ROUND5.md).  The staged shingle
+    # pipeline is then referenced once (hash+distinct consumes `g` in a
+    # single expression) so IT fuses safely.
     sets = (
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
+            word_tokens(normalized_text(F.col(text_col))).alias("__toks"),
+        )
+        .select(
+            "id",
             F.array_distinct(
                 F.transform(
-                    shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+                    shingles_from_tokens(F.col("__toks"), k),
+                    lambda s: F.xxhash64(s),
                 )
             ).alias("sh"),
         )

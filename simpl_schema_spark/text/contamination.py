@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..dedup.minhash import shingles
+from ..dedup.minhash import shingles_from_tokens
+from .analysis import normalized_text, word_tokens
 
 __all__ = ["ngram_overlap"]
 
@@ -39,13 +40,24 @@ def ngram_overlap(
     colliding shingle once per train document.
     """
     etc = eval_text_col or text_col
-    t = train.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("g"),
+    # toks staged per side: shingles' gram lambda references the token
+    # array per position — inlined tokenizers re-run O(n) times per doc
+    # (the winnow trap, BENCH/ROUND5.md)
+    t = (
+        train.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_tokens(normalized_text(F.col(text_col))).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("g"),
+        )
     )
     e = (
         eval_df.where(F.col(etc).isNotNull())
-        .select(F.explode(shingles(F.col(etc), k)).alias("g"))
+        .select(word_tokens(normalized_text(F.col(etc))).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("g"))
         .distinct()
     )
     return (

@@ -53,8 +53,20 @@ def duplicate_line_fraction(text: Column) -> Column:
 def top_bigram_coverage(text: Column, *, max_tokens: int = 2000) -> Column:
     """Fraction of (capped) token bigrams covered by the single most
     frequent bigram — near 1.0 for stuttered/templated text, small for
-    natural prose.  0.0 for documents with <2 tokens."""
-    toks = F.slice(word_tokens(text), 1, max_tokens)
+    natural prose.  0.0 for documents with <2 tokens.
+
+    Convenience composition; hot paths stage the capped token array and
+    call :func:`top_bigram_coverage_from_tokens` — the bigram lambda
+    references the token array twice per position and CSE does not
+    enter HOF lambdas, so an inlined tokenizer re-runs O(n) times."""
+    return top_bigram_coverage_from_tokens(
+        F.slice(word_tokens(text), 1, max_tokens)
+    )
+
+
+def top_bigram_coverage_from_tokens(toks: Column) -> Column:
+    """:func:`top_bigram_coverage` over an already-built (ideally
+    staged-column, pre-capped) token array."""
     n = F.size(toks)
     grams = F.when(
         n >= 2,
@@ -98,8 +110,20 @@ def repetition_metrics(
 ) -> DataFrame:
     """``(doc_id, dup_line_frac, top_bigram_cov)`` per non-null-text doc."""
     t = F.col(text_col)
-    return df.where(t.isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        duplicate_line_fraction(t).alias("dup_line_frac"),
-        top_bigram_coverage(t, max_tokens=max_tokens).alias("top_bigram_cov"),
+    # capped token array staged as its own projection: the bigram lambda
+    # references it 2x per position (the winnow trap, BENCH/ROUND5.md)
+    return (
+        df.where(t.isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            duplicate_line_fraction(t).alias("dup_line_frac"),
+            F.slice(word_tokens(t), 1, max_tokens).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            top_bigram_coverage_from_tokens(F.col("__toks")).alias(
+                "top_bigram_cov"
+            ),
+        )
     )
