@@ -1084,6 +1084,20 @@ def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_term_profile(extract_anchors(pages), k=3)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table
+    (sim/kmeans.py): k=8, two assignment passes (one centroid update).
+    Assignment is a broadcast crossJoin + min(struct) argmin — no
+    corpus window; the update is a posexplode re-average, k·d-sized
+    reduce.  Deterministic everywhere the oracle needs: md5-hash init,
+    left-fold distance sums, cid tie-breaks, 9-dp centroid rounding.
+    The ORACLE unrolls both passes in DuckDB."""
+    from simpl_schema_spark.sim import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, iterations=2)
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-frontier scheduling — the link-graph operators
     end-to-end: extract+resolve outlinks → drop URLs the previous crawl
@@ -1464,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": q_anchor_profile,
         "nfc_normalize": q_nfc_normalize,
         "crawl_frontier": q_crawl_frontier,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -1913,6 +1928,55 @@ def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
 """
 
 
+def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of q_kmeans_clusters — md5-hash init, one unrolled
+    CTE per assignment pass, centroid re-average with the same 9-dp
+    rounding.  Distances are identical left-fold sums over the same
+    positions, so the argmin (ties -> smallest cid) matches bit-for-bit;
+    centroid means differ only in accumulation order, absorbed by the
+    9-dp rounding before the next pass."""
+    dist = ("list_sum(list_transform(list_zip(p.v, c.c), "
+            "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    parts = [f"""
+    with pts as (
+      select vec_id as id,
+             list_transform(embedding, x -> x::double) as v
+        from embeddings
+       where vec_id is not null and embedding is not null
+    ),
+    c0 as (
+      select (row_number() over (
+                order by ('0x' || substring(md5(id::varchar), 1, 8))::ubigint,
+                         id
+              ) - 1)::int as cid,
+             v as c
+        from pts
+      qualify cid < {k}
+    )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    a{i} as (
+      select p.id, p.v, c.cid, {dist} as d
+        from pts p cross join c{i - 1} c
+      qualify row_number() over (partition by p.id order by d, c.cid) = 1
+    )""")
+        if i < iterations:
+            parts.append(f""",
+    c{i} as (
+      select cid, list(round(m, 9) order by pos) as c
+        from (
+          select a.cid, g.pos, avg(a.v[g.pos]) as m
+            from a{i} a, unnest(generate_series(1, {dim})) as g(pos)
+           group by a.cid, g.pos
+        )
+       group by cid
+    )""")
+    parts.append(f"""
+    select id, cid as cluster, round(d, 6) as dist from a{iterations}
+""")
+    return "".join(parts)
+
+
 def _crawl_frontier_oracle(iterations: int = 3) -> str:
     """DuckDB replay of q_crawl_frontier: the outlinks oracle as a CTE,
     anti-join against the doc_id<250 crawl, the ≡1-mod-3 robots
@@ -2000,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_oracle(),
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "crawl_frontier": _crawl_frontier_oracle(),
+        "kmeans_clusters": _kmeans_oracle(),
         "nfc_normalize": """
             select doc_id,
                    nfc_normalize(

@@ -93,6 +93,7 @@ HEADLINE_EXTRA = [
     "anchor_profile",
     "nfc_normalize",
     "crawl_frontier",
+    "kmeans_clusters",
 ]
 
 

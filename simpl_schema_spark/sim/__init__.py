@@ -7,3 +7,4 @@ from .ann import (  # noqa: F401
     random_hyperplane_signature,
 )
 from .ivf import ivf_topk, train_centroids, with_cluster_id  # noqa: F401
+from .kmeans import kmeans_assign  # noqa: F401

@@ -1,0 +1,117 @@
+"""Distributed Lloyd's k-means (sim/kmeans.py): assignment/update math
+against a pure-Python replay, determinism, empty-cluster vanishing,
+and the broadcast-assignment plan shape."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from simpl_schema_spark.sim import kmeans_assign
+
+
+def _hk(i):
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+
+def _py_kmeans(rows, k, iterations, round_dec=9):
+    pts = {i: [float(x) for x in v] for i, v in rows}
+    order = sorted(pts, key=lambda i: (_hk(i), i))
+    cents = {c: pts[i][:] for c, i in enumerate(order[:k])}
+    assign = {}
+    for it in range(iterations):
+        assign = {}
+        for i, v in pts.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cents[c])), c)
+                for c in sorted(cents)
+            )
+            assign[i] = best[::-1]  # (cid, dist)
+        if it == iterations - 1:
+            break
+        new = {}
+        for c in set(cid for cid, _ in assign.values()):
+            members = [pts[i] for i, (cid, _) in assign.items() if cid == c]
+            new[c] = [
+                round(sum(col) / len(members), round_dec)
+                for col in zip(*members)
+            ]
+        cents = new
+    return assign
+
+
+ROWS = [
+    (1, [0.0, 0.0]),
+    (2, [0.1, 0.0]),
+    (3, [5.0, 5.0]),
+    (4, [5.1, 5.0]),
+    (5, [0.0, 0.2]),
+    (6, [5.0, 5.2]),
+]
+
+
+class TestKmeans:
+    def _run(self, spark, k, iterations):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in ROWS],
+            "vec_id bigint, embedding array<double>",
+        )
+        got = {
+            r.id: (r.cluster, r.dist)
+            for r in kmeans_assign(
+                df, k=k, iterations=iterations
+            ).collect()
+        }
+        want = _py_kmeans(ROWS, k, iterations)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], f"cluster mismatch id {i}"
+            assert got[i][1] == pytest.approx(round(want[i][1], 6), abs=1e-9)
+        return got
+
+    def test_two_pass_matches_python(self, spark):
+        self._run(spark, k=2, iterations=2)
+
+    def test_three_pass_converges_two_blobs(self, spark):
+        got = self._run(spark, k=2, iterations=3)
+        left = {got[i][0] for i in (1, 2, 5)}
+        right = {got[i][0] for i in (3, 4, 6)}
+        assert len(left) == 1 and len(right) == 1 and left != right
+
+    def test_deterministic_across_runs(self, spark):
+        a = self._run(spark, k=3, iterations=2)
+        b = self._run(spark, k=3, iterations=2)
+        assert a == b
+
+    def test_rejects_bad_params(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0])], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            kmeans_assign(df, k=0)
+        with pytest.raises(ValueError):
+            kmeans_assign(df, iterations=0)
+
+    def test_assignment_broadcasts_centroids(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in ROWS],
+            "vec_id bigint, embedding array<double>",
+        )
+        # inspect the pre-materialization assignment plan: crossJoin of a
+        # broadcast k-row table, argmin via hash aggregate — no corpus
+        # Window, no shuffle of the points for the join itself
+        from simpl_schema_spark.sampling import hash_key
+        from pyspark.sql import Window
+
+        pts = df.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        init = pts.select(hash_key(F.col("vec_id")).alias("hk"), "vec_id", "v") \
+            .orderBy("hk", "vec_id").limit(2)
+        cents = init.select(
+            (F.row_number().over(Window.orderBy("hk", "vec_id")) - 1).alias("cid"),
+            F.col("v").alias("c"),
+        )
+        joined = pts.crossJoin(F.broadcast(cents))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan, plan
