@@ -1098,6 +1098,25 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iterations=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (sim/semdedup.py): k-means first,
+    cosine pairs ONLY within clusters — the O(N²) global search becomes
+    bounded per-cluster self-joins.  Dup-seeded input (exact copies of
+    vec_id<10 shifted +100000, the embedding_near_dups convention) so
+    the pair set is non-trivial; the ORACLE replays clustering, the
+    within-cluster join, and the exact cosine float sequence, filtering
+    on the ROUNDED cosine so the threshold cut can't flip cross-engine."""
+    from simpl_schema_spark.sim import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.where(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return semantic_dedup_pairs(
+        emb.unionByName(dup), k=8, iterations=2, threshold=0.95
+    )
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-frontier scheduling — the link-graph operators
     end-to-end: extract+resolve outlinks → drop URLs the previous crawl
@@ -1479,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "crawl_frontier": q_crawl_frontier,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1928,22 +1948,32 @@ def _host_pagerank_oracle(iterations: int = 3, n_hosts: int = 41) -> str:
 """
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
-    """DuckDB replay of q_kmeans_clusters — md5-hash init, one unrolled
-    CTE per assignment pass, centroid re-average with the same 9-dp
-    rounding.  Distances are identical left-fold sums over the same
-    positions, so the argmin (ties -> smallest cid) matches bit-for-bit;
-    centroid means differ only in accumulation order, absorbed by the
-    9-dp rounding before the next pass."""
-    dist = ("list_sum(list_transform(list_zip(p.v, c.c), "
-            "z -> (z[1]-z[2])*(z[1]-z[2])))")
-    parts = [f"""
-    with pts as (
+_EMB_PTS_SQL = """
       select vec_id as id,
              list_transform(embedding, x -> x::double) as v
         from embeddings
        where vec_id is not null and embedding is not null
-    ),
+"""
+
+
+def _kmeans_ctes(
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    pts_sql: str = _EMB_PTS_SQL,
+) -> str:
+    """DuckDB replay of sim/kmeans.kmeans_assign — md5-hash init, one
+    unrolled CTE per assignment pass, centroid re-average with the same
+    9-dp rounding.  Distances are identical left-fold sums over the
+    same positions, so the argmin (ties -> smallest cid) matches
+    bit-for-bit; centroid means differ only in accumulation order,
+    absorbed by the 9-dp rounding before the next pass.  Emits CTEs
+    ``pts, c0, a1 [, c1, a2, …]``; callers append their final select
+    over ``a{iterations}`` (columns id, v, cid, d)."""
+    dist = ("list_sum(list_transform(list_zip(p.v, c.c), "
+            "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    parts = [f"""
+    with pts as ({pts_sql}),
     c0 as (
       select (row_number() over (
                 order by ('0x' || substring(md5(id::varchar), 1, 8))::ubigint,
@@ -1971,10 +2001,55 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
         )
        group by cid
     )""")
-    parts.append(f"""
-    select id, cid as cluster, round(d, 6) as dist from a{iterations}
-""")
     return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
+    return (
+        _kmeans_ctes(k, iterations, dim)
+        + f"\n    select id, cid as cluster, round(d, 6) as dist"
+          f" from a{iterations}\n"
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iterations: int = 2, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """DuckDB replay of q_semantic_dedup: the kmeans CTE chain over the
+    dup-seeded embedding table, then the within-cluster self-join with
+    the SAME cosine float sequence (left-fold dot and norms), filtered
+    on the ROUNDED cosine so the threshold cut is cross-engine-stable."""
+    pts_sql = f"""
+      select vec_id as id,
+             list_transform(embedding, x -> x::double) as v
+        from embeddings
+       where vec_id is not null and embedding is not null
+      union all
+      select vec_id + 100000 as id,
+             list_transform(embedding, x -> x::double) as v
+        from embeddings
+       where vec_id < 10
+         and vec_id is not null and embedding is not null
+"""
+    cos = """(
+        case when (sqrt(list_sum(list_transform(x.v, e -> e*e)))
+                   * sqrt(list_sum(list_transform(y.v, e -> e*e)))) > 0
+             then list_sum(list_transform(list_zip(x.v, y.v),
+                                          z -> z[1]*z[2]))
+                  / (sqrt(list_sum(list_transform(x.v, e -> e*e)))
+                     * sqrt(list_sum(list_transform(y.v, e -> e*e))))
+             else cast(0 as double) end
+    )"""
+    return (
+        _kmeans_ctes(k, iterations, dim, pts_sql)
+        + f"""
+    select x.id as id_a, y.id as id_b, x.cid as cluster,
+           round({cos}, 6) as cos
+      from a{iterations} x join a{iterations} y
+        on x.cid = y.cid and x.id < y.id
+     where round({cos}, 6) >= {threshold}
+"""
+    )
 
 
 def _crawl_frontier_oracle(iterations: int = 3) -> str:
@@ -2065,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "crawl_frontier": _crawl_frontier_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "nfc_normalize": """
             select doc_id,
                    nfc_normalize(

@@ -94,6 +94,7 @@ HEADLINE_EXTRA = [
     "nfc_normalize",
     "crawl_frontier",
     "kmeans_clusters",
+    "semantic_dedup",
 ]
 
 

@@ -115,3 +115,34 @@ class TestKmeans:
         joined = pts.crossJoin(F.broadcast(cents))
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+class TestSemanticDedup:
+    def test_seeded_copies_pair_up(self, spark):
+        from simpl_schema_spark.sim import semantic_dedup_pairs
+
+        rows = [(i, [float(i % 2), float(i % 3), 1.0]) for i in range(12)]
+        rows += [(100 + i, v) for i, v in rows[:3]]  # exact copies of 0,1,2
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        got = {
+            (r.id_a, r.id_b): r.cos
+            for r in semantic_dedup_pairs(
+                df, k=3, iterations=2, threshold=0.9999
+            ).collect()
+        }
+        # every seeded copy finds its original (identical vector -> same
+        # cluster, cosine exactly 1.0); scaled-collinear extras may also
+        # pair, but the originals must be present
+        for i in range(3):
+            assert got.get((i, 100 + i)) == pytest.approx(1.0)
+
+    def test_rejects_bad_threshold(self, spark):
+        from simpl_schema_spark.sim import semantic_dedup_pairs
+
+        df = spark.createDataFrame(
+            [(1, [1.0])], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            semantic_dedup_pairs(df, threshold=0.0)
