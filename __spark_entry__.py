@@ -1098,6 +1098,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iterations=2)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (text/gopher.py, Rae et al. §A1.1): all
+    seven hard gates + per-rule components in ONE scan-fused projection
+    (token/line arrays staged per the lambda-CSE rule).  min_words=30
+    so the synthetic corpus yields a real pass/fail mix.  The ORACLE
+    recomputes every component and the conjunction in DuckDB; ratios
+    compare ROUNDED so boundary cuts can't flip cross-engine."""
+    from simpl_schema_spark.text.gopher import gopher_quality
+
+    return gopher_quality(
+        _docs(spark, sf_dir), min_words=30, min_stopwords=1
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (sim/semdedup.py): k-means first,
     cosine pairs ONLY within clusters — the O(N²) global search becomes
@@ -1499,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -2141,6 +2156,60 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "gopher_quality": """
+            with base as (
+              select doc_id, text,
+                     list_transform(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> ''),
+                       w -> lower(w)) as toks,
+                     list_filter(
+                       list_transform(regexp_split_to_array(text, '\\n'),
+                                      l -> trim(l)),
+                       l -> l <> '') as lines
+                from documents where text is not null
+            ), c as (
+              select doc_id,
+                     len(toks)::int as n_words,
+                     round(case when len(toks) > 0
+                       then list_sum(list_transform(toks, w -> length(w)))::double
+                            / len(toks) else cast(0 as double) end, 6)
+                       as mean_word_len,
+                     round(case when len(toks) > 0
+                       then len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::double
+                            / len(toks) else cast(0 as double) end, 6)
+                       as symbol_ratio,
+                     round(case when len(lines) > 0
+                       then len(list_filter(lines,
+                              l -> regexp_matches(l, '^[-*•]')))::double
+                            / len(lines) else cast(0 as double) end, 6)
+                       as bullet_frac,
+                     round(case when len(lines) > 0
+                       then len(list_filter(lines,
+                              l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::double
+                            / len(lines) else cast(0 as double) end, 6)
+                       as ellipsis_frac,
+                     round(case when len(toks) > 0
+                       then len(list_filter(toks,
+                              w -> regexp_matches(w, '\\p{L}')))::double
+                            / len(toks) else cast(0 as double) end, 6)
+                       as alpha_frac,
+                     len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(toks, s)))::int as n_stopwords
+                from base
+            )
+            select doc_id, n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, alpha_frac, n_stopwords,
+                   (n_words between 30 and 100000
+                    and mean_word_len between 3.0 and 10.0
+                    and symbol_ratio <= 0.1
+                    and bullet_frac <= 0.9
+                    and ellipsis_frac <= 0.3
+                    and alpha_frac >= 0.8
+                    and n_stopwords >= 1) as passes
+              from c
+        """,
         "nfc_normalize": """
             select doc_id,
                    nfc_normalize(

@@ -95,6 +95,7 @@ HEADLINE_EXTRA = [
     "crawl_frontier",
     "kmeans_clusters",
     "semantic_dedup",
+    "gopher_quality",
 ]
 
 

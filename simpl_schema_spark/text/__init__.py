@@ -15,6 +15,7 @@ from .encoding import (  # noqa: F401
     fix_mojibake,
     strip_control_chars,
 )
+from .gopher import GOPHER_STOPWORDS, gopher_filter, gopher_quality  # noqa: F401
 from .html import html_to_text  # noqa: F401
 from .links import (  # noqa: F401
     anchor_term_profile,
