@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship validation query on sf0.001;
 ``queries()``/``oracle_sql()`` pair each implemented operator from
 SURVEY.md §2 (+ the training-data operators) with an ANSI-SQL oracle DuckDB
-runs on the same parquet tables.  Non-SQL-expressible operators (seeded
-minhash/simhash/LSH) have queries() entries without oracles → rows-only
-checks.
+runs on the same parquet tables.  Every query is oracle-gated except
+``embedding_near_dups`` (random-hyperplane LSH over xxhash64 seeds has no
+DuckDB-reproducible hash; the md5-family minhash/simhash/winnow variants
+cover the portable-dedup ground) — that one stays a rows-only check by
+documented design (COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -1098,6 +1100,27 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iterations=2)
 
 
+def q_nchars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram profile (checks/histogram.py): auto-ranged
+    12-bin counts of n_chars — one lazy min/max broadcast + one
+    bins-row-sized aggregation.  Bin arithmetic is accumulation-free
+    double ops, so the ORACLE reproduces assignments bit-for-bit."""
+    from simpl_schema_spark.checks import histogram
+
+    return histogram(_docs(spark, sf_dir), "n_chars", bins=12)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab sizing curve point (text/vocab.vocab_coverage):
+    what fraction of token occurrences a top-500 frequency vocabulary
+    covers.  One count aggregation, a TakeOrdered top-V cut with
+    deterministic ties, two 1-row sums — integer-exact until the final
+    rounded ratio."""
+    from simpl_schema_spark.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), vocab_size=500)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher rule battery (text/gopher.py, Rae et al. §A1.1): all
     seven hard gates + per-rule components in ONE scan-fused projection
@@ -1514,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "gopher_quality": q_gopher_quality,
+        "nchars_histogram": q_nchars_histogram,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -2156,6 +2181,55 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "nchars_histogram": """
+            with base as (
+              select n_chars::double as x from documents
+               where n_chars is not null
+            ),
+            rng as (select min(x) as lo, max(x) as hi from base),
+            binned as (
+              select case when r.hi <= r.lo then 0
+                          else greatest(0, least(11,
+                            floor((b.x - r.lo)
+                                  / ((r.hi - r.lo) / cast(12 as double)))::int))
+                     end as bin,
+                     r.lo as lo, r.hi as hi
+                from base b cross join rng r
+            )
+            select bin,
+                   round(lo + bin * ((hi - lo) / cast(12 as double)), 6)
+                     as bin_lo,
+                   round(lo + (bin + 1) * ((hi - lo) / cast(12 as double)), 6)
+                     as bin_hi,
+                   count(*) as n
+              from binned
+             group by bin, lo, hi
+        """,
+        "vocab_coverage": r"""
+            with toks as (
+              select u.t as token
+                from documents,
+                     unnest(list_filter(
+                       regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                     as u(t)
+               where text is not null
+            ),
+            freqs as (select token, count(*) as n from toks group by token),
+            top as (select n from freqs order by n desc, token limit 500),
+            agg as (
+              select count(*) as n_vocab,
+                     coalesce(sum(n), 0)::bigint as covered
+                from top
+            ),
+            tot as (
+              select coalesce(sum(n), 0)::bigint as total from freqs
+            )
+            select 500 as vocab_size, n_vocab, covered, total,
+                   round(case when total > 0
+                              then covered / total::double
+                              else cast(0 as double) end, 6) as coverage
+              from agg cross join tot
+        """,
         "gopher_quality": """
             with base as (
               select doc_id, text,

@@ -96,6 +96,8 @@ HEADLINE_EXTRA = [
     "kmeans_clusters",
     "semantic_dedup",
     "gopher_quality",
+    "nchars_histogram",
+    "vocab_coverage",
 ]
 
 

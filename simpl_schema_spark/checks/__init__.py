@@ -23,3 +23,4 @@ from .vectors import (  # noqa: F401
 )
 from .schema_drift import schema_drift_violations  # noqa: F401
 from .extraction import extraction_mismatches  # noqa: F401
+from .histogram import histogram  # noqa: F401

@@ -48,4 +48,5 @@ from .vocab import (  # noqa: F401
     tf_idf_top_terms,
     token_frequencies,
     top_tokens,
+    vocab_coverage,
 )

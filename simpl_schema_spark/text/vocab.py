@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["token_frequencies", "top_tokens", "document_frequencies", "tf_idf_top_terms"]
+__all__ = [
+    "token_frequencies",
+    "top_tokens",
+    "document_frequencies",
+    "tf_idf_top_terms",
+    "vocab_coverage",
+]
 
 
 def _tokens(text: Column) -> Column:
@@ -68,6 +74,54 @@ def top_tokens(
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", *, vocab_size: int = 1000
+) -> DataFrame:
+    """One row ``(vocab_size, n_vocab, covered, total, coverage)`` — the
+    fraction of all token OCCURRENCES a top-``vocab_size`` frequency
+    vocabulary covers (the standard curve for sizing tokenizer vocabs /
+    estimating OOV rates; n_vocab < vocab_size when the corpus has fewer
+    distinct tokens).
+
+    Shape: one token-count aggregation (map-side combine), a
+    TakeOrdered top-V cut of the (distinct-token-sized) count table —
+    deterministic ties by token asc — then two 1-row sums crossJoined.
+    Integer arithmetic end-to-end except the final ratio (round 6 for
+    the engine-portable oracle).
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    freqs = token_frequencies(df, text_col).persist()
+    top = (
+        freqs.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(vocab_size)
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("covered"),
+        )
+    )
+    totals = freqs.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("total"))
+    out = (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(vocab_size).alias("vocab_size"),
+            "n_vocab",
+            "covered",
+            "total",
+            F.round(
+                F.when(
+                    F.col("total") > 0,
+                    F.col("covered") / F.col("total").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    from ..cache import materialize_and_release
+
+    return materialize_and_release(out, freqs)
 
 
 def tf_idf_top_terms(
