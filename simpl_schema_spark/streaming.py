@@ -23,6 +23,7 @@ __all__ = [
     "streaming_category_counts",
     "psi_per_window",
     "streaming_pii_rates",
+    "streaming_sessions",
 ]
 
 
@@ -259,6 +260,94 @@ def stateful_host_violation_tracker(
 
     return per_doc.groupBy("host").applyInPandasWithState(
         track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_sessions(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_minutes: int = 30,
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful-stream analog of
+    :func:`.sessions.session_stats`, via ``applyInPandasWithState``.
+
+    State per user: the OPEN session ``(start_us, end_us, n_events)``.
+    Each micro-batch folds the user's events (sorted by event time) into
+    it; an inactivity gap > ``gap_minutes`` CLOSES the running session —
+    emitted with ``closed_by='gap'`` — and starts a new one.  A user
+    idle for ``timeout_ms`` of processing time has their open session
+    emitted with ``closed_by='timeout'`` and state removed, so the state
+    map stays bounded on an open-ended stream.
+
+    Cross-batch ordering caveat (documented, not a bug): events are
+    sorted WITHIN each batch; an event arriving in a later batch with an
+    event time inside the open session extends/backfills it (start/end
+    clamp, count increments), but one older than an already-gap-closed
+    session cannot reopen it — the same horizon trade-off as a
+    watermark.  Batch :mod:`.sessions` is the exact-replay path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60_000_000
+    ev = stream_df.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+    )
+    out_schema = (
+        "user_id bigint, session_start_us bigint, session_end_us bigint, "
+        "n_events bigint, closed_by string"
+    )
+    state_schema = "start_us bigint, end_us bigint, n_events bigint"
+
+    def _row(key, cur, why):
+        return {
+            "user_id": [key[0]],
+            "session_start_us": [cur[0]],
+            "session_end_us": [cur[1]],
+            "n_events": [cur[2]],
+            "closed_by": [why],
+        }
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                cur = list(state.get)
+                yield pd.DataFrame(_row(key, cur, "timeout"))
+            state.remove()
+            return
+        ts: list = []
+        for pdf in pdf_iter:
+            col = pdf["__ts"].astype("datetime64[us]").astype("int64")
+            ts.extend(int(t) for t in col)
+        ts.sort()
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > gap_us:
+                closed.append(_row(key, cur, "gap"))
+                cur = [t, t, 1]
+            else:
+                cur[0] = min(cur[0], t)   # late backfill inside session
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutDuration(timeout_ms)
+        for r in closed:
+            yield pd.DataFrame(r)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",

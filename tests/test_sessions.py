@@ -94,3 +94,44 @@ class TestSessionStats:
         for line in plan.splitlines():
             if "Window [" in line:
                 assert "[user_id" in line, line
+
+
+class TestStreamingSessions:
+    def test_gap_closed_sessions_emitted(self, spark, tmp_path):
+        from simpl_schema_spark.streaming import streaming_sessions
+
+        src = str(tmp_path / "ev_stream")
+        rows = [
+            # user 7: sessions [0,10] (closed by 120), open [120,130]
+            (1, 7, 0), (2, 7, 10), (3, 7, 120), (4, 7, 130),
+            # user 8: singleton sessions closed at 100 and 200; open [200]
+            (5, 8, 0), (6, 8, 100), (7, 8, 200),
+        ]
+        _events(spark, rows).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_sessions(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user_id, r.session_start_us): (
+                r.session_end_us, r.n_events, r.closed_by
+            )
+            for r in spark.sql("select * from sess_stream").collect()
+        }
+
+        def us(minutes):
+            return int((T0 + timedelta(minutes=minutes)).timestamp() * 1_000_000)
+
+        # only gap-closed sessions are emitted (open ones stay in state)
+        assert got[(7, us(0))] == (us(10), 2, "gap")
+        assert got[(8, us(0))] == (us(0), 1, "gap")
+        assert got[(8, us(100))] == (us(100), 1, "gap")
+        assert (7, us(120)) not in got
+        assert (8, us(200)) not in got
