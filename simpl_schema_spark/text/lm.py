@@ -103,7 +103,10 @@ def lm_avg_nll(
     Output: (``*id_cols``, n_bigrams, avg_nll) — ``exp(avg_nll)`` is the
     perplexity; filters threshold avg_nll directly (monotone).  Documents
     with fewer than two tokens yield no row (no bigram evidence).
-    ``k`` is the add-k smoothing constant.
+    ``k`` is the add-k smoothing constant.  Degenerate edge: an EMPTY
+    training corpus gives V = 0, so every probability is k/0 → avg_nll
+    is -Infinity — train on a non-empty reference slice (the model has
+    no information to score with otherwise).
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
