@@ -1121,6 +1121,29 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_docs(spark, sf_dir), vocab_size=500)
 
 
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm signal (text/links.host_reciprocity): fraction of each
+    host's distinct outlink targets that link back — one reversed-key
+    self-join over the host graph + a map-side-combinable rollup,
+    nothing corpus-sized.  Same deterministic 41-host link table as the
+    pagerank queries (offsets 1/14 give a reciprocity mix)."""
+    from simpl_schema_spark.text import host_edges, host_reciprocity
+
+    did = F.col("doc_id")
+    s = did % 41
+    links = None
+    for off in (1, 14):
+        d = (did * 7 + off) % 41
+        part = _docs(spark, sf_dir).select(
+            F.concat(F.lit("https://h"), s.cast("string"),
+                     F.lit(".example/p"), did).alias("url"),
+            F.concat(F.lit("https://h"), d.cast("string"),
+                     F.lit(".example/q")).alias("outlink"),
+        )
+        links = part if links is None else links.unionByName(part)
+    return host_reciprocity(host_edges(links))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher rule battery (text/gopher.py, Rae et al. §A1.1): all
     seven hard gates + per-rule components in ONE scan-fused projection
@@ -1539,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "nchars_histogram": q_nchars_histogram,
         "vocab_coverage": q_vocab_coverage,
+        "host_reciprocity": q_host_reciprocity,
     }
 
 
@@ -2181,6 +2205,27 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "host_reciprocity": """
+            with links as (
+              select 'h' || (doc_id % 41)::varchar || '.example' as a,
+                     'h' || ((doc_id*7 + 1) % 41)::varchar || '.example' as b
+                from documents
+              union all
+              select 'h' || (doc_id % 41)::varchar || '.example',
+                     'h' || ((doc_id*7 + 14) % 41)::varchar || '.example'
+                from documents
+            ),
+            e as (select distinct a, b from links where a <> b),
+            r as (
+              select e.a, case when ex.a is not null then 1 else 0 end as rr
+                from e left join e ex on ex.a = e.b and ex.b = e.a
+            )
+            select a as host,
+                   count(*) as n_out,
+                   sum(rr)::bigint as n_reciprocal,
+                   round(sum(rr) / count(*)::double, 6) as reciprocity
+              from r group by a
+        """,
         "nchars_histogram": """
             with base as (
               select n_chars::double as x from documents

@@ -98,6 +98,7 @@ HEADLINE_EXTRA = [
     "gopher_quality",
     "nchars_histogram",
     "vocab_coverage",
+    "host_reciprocity",
 ]
 
 

@@ -22,6 +22,7 @@ from .links import (  # noqa: F401
     extract_anchors,
     extract_outlinks,
     host_edges,
+    host_reciprocity,
     resolve_link,
 )
 from .lm import BigramLM, lm_avg_nll, train_bigram_lm  # noqa: F401
@@ -32,7 +33,13 @@ from .repetition import (  # noqa: F401
     repetition_metrics,
     top_bigram_coverage,
 )
-from .robots import filter_allowed, parse_robots_txt, robots_rules  # noqa: F401
+from .robots import (  # noqa: F401
+    crawl_delays,
+    filter_allowed,
+    parse_crawl_delay,
+    parse_robots_txt,
+    robots_rules,
+)
 from .urlfilter import (  # noqa: F401
     cap_per_domain,
     filter_urls,

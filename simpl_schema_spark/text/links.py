@@ -38,6 +38,7 @@ __all__ = [
     "host_edges",
     "extract_anchors",
     "anchor_term_profile",
+    "host_reciprocity",
 ]
 
 #: href attribute matcher — double-quoted values on any tag
@@ -227,4 +228,45 @@ def host_edges(
         .where((F.col("src_host") != F.col("dst_host")) & (F.col("dst_host") != ""))
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host outlink reciprocity ``(host, n_out, n_reciprocal,
+    reciprocity)`` — the classic link-farm / link-exchange signal: an
+    organic host's targets rarely all link back, a reciprocal-exchange
+    ring's do (reciprocity ≈ 1 at non-trivial out-degree).
+
+    Weights are ignored (existence, not volume): the edge list reduces
+    to distinct ordered pairs, reciprocal pairs are found with ONE
+    self-join on the reversed key (host-graph-sized, co-partitioned —
+    both sides hash the same pair columns), and the per-host rollup is
+    a map-side-combinable count.  Nothing corpus-sized.
+    """
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = e.intersect(rev)  # pairs whose reverse also exists
+    marked = e.join(
+        recip.select("a", "b", F.lit(1).alias("__r")), ["a", "b"], "left"
+    )
+    return (
+        marked.groupBy(F.col("a").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum(F.coalesce(F.col("__r"), F.lit(0))).alias("n_reciprocal"),
+        )
+        .select(
+            "host",
+            "n_out",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal") / F.col("n_out").cast("double"), 6
+            ).alias("reciprocity"),
+        )
     )

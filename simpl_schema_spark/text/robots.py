@@ -32,7 +32,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .urls import url_host
 
-__all__ = ["parse_robots_txt", "robots_rules", "filter_allowed"]
+__all__ = [
+    "parse_robots_txt",
+    "robots_rules",
+    "filter_allowed",
+    "parse_crawl_delay",
+    "crawl_delays",
+]
 
 #: rules per domain cap — a hostile robots.txt must not blow up the plan
 _MAX_RULES = 500
@@ -180,3 +186,76 @@ def filter_allowed(
         F.col("__rules").isNull() | (F.size(matched) == 0), F.lit(True)
     ).otherwise(best["allow"])
     return joined.where(verdict).drop("__rkey", "__rdom", "__rules")
+
+
+def parse_crawl_delay(body: str, user_agent: str = "*") -> "float | None":
+    """``Crawl-delay`` (seconds) of the group governing ``user_agent``
+    — the de-facto extension most crawlers honor (not in RFC 9309, so
+    :func:`parse_robots_txt` ignores it; politeness schedulers want it).
+    Group selection mirrors :func:`parse_robots_txt`: longest matching
+    specific agent token wins, '*' is the fallback; the group's LAST
+    valid delay applies; malformed/negative values are ignored."""
+    ua = user_agent.lower()
+    agents: list = []
+    in_group_header = True
+    by_agent: dict = {}
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_group_header:
+                agents = []
+            agents.append(value.lower())
+            in_group_header = True
+        elif field in ("allow", "disallow"):
+            in_group_header = False
+        elif field == "crawl-delay" and agents:
+            in_group_header = False
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                for a in agents:
+                    by_agent[a] = d
+    specific = [a for a in by_agent if a != "*" and a and a in ua]
+    if specific:
+        return by_agent[max(specific, key=len)]
+    return by_agent.get("*")
+
+
+def crawl_delays(
+    df: DataFrame,
+    domain_col: str = "domain",
+    body_col: str = "robots_txt",
+    *,
+    user_agent: str = "*",
+    default_delay: float = 0.0,
+) -> DataFrame:
+    """Per-domain politeness delay table ``(domain, crawl_delay)`` —
+    the scheduling input next to :func:`robots_rules`' allow/deny.
+    Same Arrow-batch pass over the domain-cardinality robots corpus;
+    domains without a usable Crawl-delay get ``default_delay``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            delays = [
+                (
+                    d
+                    if (d := parse_crawl_delay(body or "", user_agent))
+                    is not None
+                    else default_delay
+                )
+                for body in pdf[body_col]
+            ]
+            yield pd.DataFrame(
+                {"domain": pdf[domain_col], "crawl_delay": delays}
+            )
+
+    return df.select(domain_col, body_col).mapInPandas(
+        batches, schema="domain string, crawl_delay double"
+    )

@@ -263,3 +263,68 @@ def test_bench_lists_cover_queries():
 
     missing = set(em.queries()) - set(bench.HEADLINE + bench.HEADLINE_EXTRA)
     assert not missing, f"queries missing from bench lists: {sorted(missing)}"
+
+
+class TestHostReciprocity:
+    def test_flags_mutual_pairs(self, spark):
+        from simpl_schema_spark.text.links import host_reciprocity
+
+        rows = [
+            ("farm1", "farm2", 5), ("farm2", "farm1", 9),  # mutual
+            ("farm1", "farm3", 1), ("farm3", "farm1", 1),  # mutual
+            ("organic", "farm1", 2),                       # one-way
+            ("farm1", "elsewhere", 1),                     # one-way
+        ]
+        df = spark.createDataFrame(
+            rows, "src_host string, dst_host string, n_links bigint"
+        )
+        got = {
+            r.host: (r.n_out, r.n_reciprocal, r.reciprocity)
+            for r in host_reciprocity(df).collect()
+        }
+        assert got["farm1"] == (3, 2, pytest.approx(2 / 3, abs=1e-6))
+        assert got["farm2"] == (1, 1, 1.0)
+        assert got["organic"] == (1, 0, 0.0)
+
+    def test_weights_ignored(self, spark):
+        from simpl_schema_spark.text.links import host_reciprocity
+
+        df = spark.createDataFrame(
+            [("a", "b", 100), ("a", "b", 1)],
+            "src_host string, dst_host string, n_links bigint",
+        )
+        got = host_reciprocity(df).collect()
+        assert len(got) == 1 and got[0].n_out == 1
+
+
+class TestCrawlDelay:
+    def test_group_selection_and_defaults(self, spark):
+        from simpl_schema_spark.text import crawl_delays
+
+        bodies = [
+            ("a.com", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x"),
+            ("b.com", "User-agent: greedybot\nCrawl-delay: 99\n"
+                      "User-agent: *\nCrawl-delay: 1"),
+            ("c.com", "User-agent: *\nCrawl-delay: not-a-number"),
+            ("d.com", "User-agent: *\nDisallow: /"),
+            ("e.com", "User-agent: *\nCrawl-delay: -3"),
+        ]
+        df = spark.createDataFrame(bodies, "domain string, robots_txt string")
+        got = {
+            r.domain: r.crawl_delay
+            for r in crawl_delays(df, default_delay=0.5).collect()
+        }
+        assert got["a.com"] == 2.5
+        assert got["b.com"] == 1.0      # '*' group, not greedybot's
+        assert got["c.com"] == 0.5      # malformed -> default
+        assert got["d.com"] == 0.5      # absent -> default
+        assert got["e.com"] == 0.5      # negative -> default
+
+    def test_specific_agent_wins(self, spark):
+        from simpl_schema_spark.text.robots import parse_crawl_delay
+
+        body = ("User-agent: mybot\nCrawl-delay: 7\n"
+                "User-agent: *\nCrawl-delay: 1")
+        assert parse_crawl_delay(body, "mybot/2.0") == 7.0
+        assert parse_crawl_delay(body, "otherbot") == 1.0
+        assert parse_crawl_delay("", "mybot") is None
