@@ -9,6 +9,7 @@ from .analysis import (  # noqa: F401
 )
 from .chunking import chunk_documents  # noqa: F401
 from .classifier import classifier_score, token_buckets  # noqa: F401
+from .compression import compression_ratio  # noqa: F401
 from .contamination import ngram_overlap  # noqa: F401
 from .encoding import (  # noqa: F401
     MOJIBAKE_MAP,
