@@ -44,8 +44,15 @@ def semantic_dedup_pairs(
     ``id_a < id_b``."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    assign = kmeans_assign(
-        df, id_col, vec_col, k=k, iterations=iterations
+    from ..cache import track
+
+    # kmeans_assign returns a PERSISTED (materialized) result; the pair
+    # plan below stays lazy, so register it for deferred release rather
+    # than leaking one corpus-sized cache per call (the packing.py
+    # lesson from round 4's review) — pipelines drop it via
+    # cache.release_tracked() after their action.
+    assign = track(
+        kmeans_assign(df, id_col, vec_col, k=k, iterations=iterations)
     ).select("id", "cluster")
     vecs = df.where(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()

@@ -297,7 +297,11 @@ def streaming_sessions(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = int(gap_minutes) * 60_000_000
-    ev = stream_df.select(
+    # null-timestamp rows carry no ordering information and pandas would
+    # otherwise fold NaT into a garbage int64 — drop them scan-side
+    ev = stream_df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(ts_col).alias("__ts"),
     )
