@@ -1197,10 +1197,14 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = _synth_page(spark, sf_dir)
-    out = extract_outlinks(pages)
-    prev = extract_outlinks(pages.where(F.col("doc_id") < 250)).select(
-        "outlink"
-    )
+    # ONE extraction pass: `out` feeds the candidate set, the prev-crawl
+    # anti-join side (extraction is row-wise, so filtering the extracted
+    # rows ≡ extracting from filtered pages) and the PageRank edge table
+    # — persisted so the HTML parse runs once, not once per consumer
+    from simpl_schema_spark.cache import track
+
+    out = track(extract_outlinks(pages).persist())
+    prev = out.where(F.col("doc_id") < 250).select("outlink")
     new = (
         out.select("outlink").distinct().join(prev, "outlink", "left_anti")
     )

@@ -191,28 +191,37 @@ def minhash_signature(
     max_long = (1 << 63) - 1
     if hash_family == "md5":
         a, b = md5_permutation_family(num_perm, seed)
-        a_arr = F.array(*[F.lit(x).cast("decimal(10,0)") for x in a])
-        b_arr = F.array(*[F.lit(x).cast("decimal(20,0)") for x in b])
-        m = F.lit(MERSENNE61).cast("decimal(19,0)")
+        a_arr = F.array(*[F.lit(x).cast("long") for x in a])
+        b_arr = F.array(*[F.lit(x).cast("long") for x in b])
+        m = F.lit(MERSENNE61).cast("long")
         idx = F.sequence(F.lit(1), F.lit(num_perm))
         hashes = F.transform(shingle_col, md5_long60)
+
+        def perm_val(h, i):
+            # (a·h + b) mod M, M = 2^61-1, in EXACT long arithmetic via
+            # the Mersenne fold 2^61 ≡ 1 (mod M).  With a < 2^30 and
+            # h < 2^60, split h = h_hi·2^30 + h_lo (each < 2^30):
+            #   a·h ≡ a·h_lo + fold(a·h_hi · 2^30)          (mod M)
+            #   fold(x·2^30) = (x >> 31) + ((x & (2^31-1)) << 30)
+            # every intermediate stays under 2^63 (a·h_lo < 2^60,
+            # fold < 2^61+2^29, b < 2^61 → sum < 7·2^60), so nothing
+            # overflows under ANSI.  Mathematically identical to the
+            # previous decimal(30,0) formulation — and ~5x cheaper (long
+            # mul/shift/add vs software decimal multiply + modulo).
+            ai = F.element_at(a_arr, i)
+            x = ai * F.shiftright(h, 30)
+            fold = F.shiftright(x, 31) + F.shiftleft(
+                x.bitwiseAND(F.lit((1 << 31) - 1)), 30
+            )
+            lo = ai * h.bitwiseAND(F.lit((1 << 30) - 1))
+            return (lo + fold + F.element_at(b_arr, i)) % m
+
         sig = F.aggregate(
             hashes,
             F.array_repeat(F.lit(max_long).cast("long"), num_perm),
             lambda acc, h: F.zip_with(
                 acc,
-                # a·h fits decimal(30,0) (a<2^30, h<2^60) — exact, no ANSI
-                # overflow; mod the Mersenne prime lands back under 2^61
-                F.transform(
-                    idx,
-                    lambda i: (
-                        (
-                            F.element_at(a_arr, i) * h.cast("decimal(19,0)")
-                            + F.element_at(b_arr, i)
-                        )
-                        % m
-                    ).cast("long"),
-                ),
+                F.transform(idx, lambda i: perm_val(h, i)),
                 lambda cur, v: F.least(cur, v),
             ),
         )

@@ -38,6 +38,59 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """``(id_a, id_b)`` — every within-bucket pair, ``id_a < id_b``.
+
+    Arrow-batched numpy enumeration (one gather per distinct bucket
+    length per batch) instead of the expression form
+    ``explode(flatten(transform(ids, a → filter(transform(ids, b →
+    when(a<b, struct))))))`` — higher-order lambdas are interpreted, so
+    at ~1M candidate pairs that chain was the operator's dominant cost
+    (guide §4.2).  Bucket members are DISTINCT (one inverted-index row
+    per (shingle, doc)), so positional ``i < j`` pairs with
+    ``min``/``max`` yield exactly the value-ordered pair set the
+    expression produced."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = buckets.schema[ids_col].dataType.elementType.simpleString()
+
+    def gen(batches):
+        tri_cache: dict = {}
+        for batch in batches:
+            col = batch.column(0)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy()
+            vals = col.values.to_numpy(zero_copy_only=False)
+            lengths = offs[1:] - offs[:-1]
+            out_a, out_b = [], []
+            for ell in np.unique(lengths):
+                if ell < 2:
+                    continue
+                if ell not in tri_cache:
+                    tri_cache[ell] = np.triu_indices(int(ell), 1)
+                iu, ju = tri_cache[ell]
+                starts = offs[:-1][lengths == ell]
+                ai = (starts[:, None] + iu[None, :]).ravel()
+                bi = (starts[:, None] + ju[None, :]).ravel()
+                va, vb = vals[ai], vals[bi]
+                out_a.append(np.minimum(va, vb))
+                out_b.append(np.maximum(va, vb))
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a)),
+                        pa.array(np.concatenate(out_b)),
+                    ],
+                    names=["id_a", "id_b"],
+                )
+
+    return buckets.select(ids_col).mapInArrow(
+        gen, f"id_a {id_type}, id_b {id_type}"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,27 +142,12 @@ def ngram_jaccard_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .where(F.size("ids") > 1)
     )
-    # co-occurrence count per pair — groupBy instead of distinct, same shuffle
+    # co-occurrence count per pair — groupBy instead of distinct, same
+    # shuffle; pair enumeration is the Arrow-batched numpy form (the
+    # interpreted lambda chain was ~2 s of the query at sf0.1)
     pair_c = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.filter(
-                            F.transform(
-                                F.col("ids"),
-                                lambda b: F.when(
-                                    a < b, F.struct(a.alias("id_a"), b.alias("id_b"))
-                                ),
-                            ),
-                            lambda s: s.isNotNull(),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .groupBy("p.id_a", "p.id_b")
+        _bucket_pairs(buckets)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # per-doc metadata: set size + how many shingles the hot-cap dropped

@@ -68,7 +68,11 @@ def pagerank(
     # collapse parallel edges, then attach each source's total out-weight
     # → per-edge transition fraction. Partitioned by src once so every
     # iteration's rank join co-locates without re-shuffling the edges.
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # `e` is persisted for the SETUP phase only: trans (via the out_w
+    # join) and vertices otherwise each recompute the raw edge input —
+    # in composed pipelines that input is a full extraction pass
+    # (q_crawl_frontier re-parsed every page's HTML per reference).
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     trans = (
         e.join(out_w, "src")
@@ -77,14 +81,28 @@ def pagerank(
         .persist()
     )
 
+    # vertices from the persisted TRANS table (same src/dst set as e —
+    # every e row survives the out_w join), so the single count below
+    # materializes trans and vertices together and e is setup-only
     vertices = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        trans.select(F.col("src").alias("id"))
+        .unionByName(trans.select(F.col("dst").alias("id")))
         .distinct()
         .persist()
     )
     n = vertices.count()  # scalar: needed in the (1-d)/N literal
-    src_ids = out_w.select(F.col("src").alias("id"))
+    e.unpersist(blocking=False)
+
+    # the dangling-vertex SET is iteration-invariant — compute it once
+    # from the persisted trans/vertices tables instead of re-deriving
+    # out_w from the raw edge input inside every iteration (each power
+    # step otherwise re-scans and re-aggregates the edge source, which
+    # contradicts the "edge table partitioned once" invariant above).
+    # Lazy persist: the first iteration's dangling aggregate populates
+    # it (single consumer per action — no cache-population race).
+    dangling_ids = vertices.join(
+        trans.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).persist()
 
     ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).persist()
     base = F.lit((1.0 - damping) / n)
@@ -95,7 +113,7 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
         )
         dangling = (
-            ranks.join(src_ids, "id", "left_anti")
+            ranks.join(dangling_ids, "id", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         new_ranks = (
@@ -123,4 +141,5 @@ def pagerank(
 
     trans.unpersist(blocking=False)
     vertices.unpersist(blocking=False)
+    dangling_ids.unpersist(blocking=False)
     return ranks

@@ -129,6 +129,68 @@ def cosine_topk_bruteforce(
     return topk_per_query(scored, k)
 
 
+#: rows per pair-enumeration block — bounds the Python-side pair buffer
+#: (block × group_size × dim doubles) independent of group size
+_PAIR_BLOCK = 4096
+
+
+def seq_fold_rows(prods):
+    """Sequential left-fold DOUBLE sum per row, starting from 0.0 — the
+    exact FP sequence of ``F.aggregate(…, lit(0.0), acc + v)`` (the
+    zero-prepend reproduces the fold's ``0.0 + p0`` first step, signed
+    zeros included).  ``prods`` keeps its input dtype: products of
+    float32 vectors are single-precision exactly as Spark's
+    ``float * float`` multiply, then promote to double in the running
+    sum just like the fold's ``double + float``."""
+    import numpy as np
+
+    z = np.zeros((prods.shape[0], 1), dtype=np.float64)
+    return np.add.accumulate(
+        np.hstack([z, prods.astype(np.float64)]), axis=1
+    )[:, -1]
+
+
+def group_dot_pairs_pdf(pdf, *, extra_cols: Optional[dict] = None):
+    """All ``id_a < id_b`` pairs within one group of ``(id, v)`` rows,
+    with the SEQUENTIAL-fold dot product and the norm-product
+    denominator — vectorized numpy inside ``applyInPandas`` (guide-§4.2
+    dense-linear-algebra case), emitting only scalar pair rows; callers
+    divide/round/threshold JVM-side so those semantics are untouched.
+
+    ``extra_cols`` maps output name → group-constant source column,
+    copied onto every pair row.  The pair buffer is blocked
+    (``_PAIR_BLOCK`` anchor rows at a time) so Python memory stays
+    bounded for large groups."""
+    import numpy as np
+    import pandas as pd
+
+    extra_cols = extra_cols or {}
+    m = len(pdf)
+    cols = ["id_a", "id_b", *extra_cols, "dot", "denom"]
+    if m < 2:
+        return pd.DataFrame({c: [] for c in cols})
+    # mat keeps the column's element dtype (float32 stays float32): the
+    # elementwise products must run in the INPUT precision to match the
+    # expression fold's `x * y`; seq_fold_rows promotes to double after
+    pdf = pdf.sort_values("id", kind="mergesort")
+    ids = pdf["id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy())
+    extras = {name: pdf[src].iloc[0] for name, src in extra_cols.items()}
+    norms = np.sqrt(seq_fold_rows(mat * mat))
+    out = []
+    for lo in range(0, m - 1, _PAIR_BLOCK):
+        hi = min(lo + _PAIR_BLOCK, m - 1)
+        counts = m - 1 - np.arange(lo, hi)
+        ia = np.repeat(np.arange(lo, hi), counts)
+        ib = np.concatenate([np.arange(i + 1, m) for i in range(lo, hi)])
+        block = {"id_a": ids[ia], "id_b": ids[ib]}
+        block.update({name: v for name, v in extras.items()})
+        block["dot"] = seq_fold_rows(mat[ia] * mat[ib])
+        block["denom"] = norms[ia] * norms[ib]
+        out.append(pd.DataFrame(block))
+    return pd.concat(out, ignore_index=True)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side, tiny)."""
     import random
@@ -225,44 +287,39 @@ def embedding_near_duplicates(
             for c in range(bands)
         ]
     )
-    exploded = sigs.select("id", "vec", F.explode(chunks).alias("c")).select(
-        "id", "vec", "c.chunk_idx", "c.chunk_val"
+    exploded = sigs.select(
+        "id",
+        F.col("vec").alias("v"),
+        F.explode(chunks).alias("c"),
+    ).select("id", "v", "c.chunk_idx", "c.chunk_val")
+    # hot chunks filtered out BEFORE the pair stage (bounded per-group
+    # state — same count-pass + semi-join discipline as bounded_buckets);
+    # the pair stage itself is an Arrow-batched applyInPandas per bucket:
+    # each vector crosses the wire once per band instead of once per
+    # PAIR, and the dot/norm folds run as vectorized numpy with the
+    # exact sequential-fold FP sequence (the interpreted
+    # higher-order-function cosine was the dominant cost of this
+    # operator — guide §4.2)
+    sizes = exploded.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("__n")
     )
-    # hot chunks filtered out BEFORE collect_list (bounded reducer state);
-    # members carry full vectors, so an unbounded buffer would be fatal here
-    from ..dedup.buckets import bounded_buckets
-
-    buckets = bounded_buckets(
-        exploded, ["chunk_idx", "chunk_val"], F.struct("id", "vec"),
-        max_bucket_size=max_bucket_size,
+    keep = sizes.where(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+    ).select("chunk_idx", "chunk_val")
+    bounded = exploded.join(keep, ["chunk_idx", "chunk_val"], "inner")
+    id_type = sigs.schema["id"].dataType.simpleString()
+    raw_pairs = bounded.groupBy("chunk_idx", "chunk_val").applyInPandas(
+        group_dot_pairs_pdf,
+        f"id_a {id_type}, id_b {id_type}, dot double, denom double",
     )
+    # division stays JVM-side — bit-identical to the expression form's
+    # cosine() (denom>0 guard included); duplicate candidates from
+    # different bands compute identical doubles, so distinct() dedupes
+    cos = F.when(
+        F.col("denom") > 0, F.col("dot") / F.col("denom")
+    ).otherwise(F.lit(0.0))
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("members"),
-                        lambda a: F.filter(
-                            F.transform(
-                                F.col("members"),
-                                lambda b: F.when(
-                                    a.getField("id") < b.getField("id"),
-                                    F.struct(
-                                        a.getField("id").alias("id_a"),
-                                        b.getField("id").alias("id_b"),
-                                        cosine(
-                                            a.getField("vec"), b.getField("vec")
-                                        ).alias("cosine"),
-                                    ),
-                                ),
-                            ),
-                            lambda s: s.isNotNull(),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+        raw_pairs.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .distinct()
     )

@@ -5,32 +5,127 @@ Embedding-space clustering is the workhorse of corpus curation at scale
 IVF index training (:mod:`.ivf` trains on a driver-side sample; this is
 the full-corpus distributed variant for when the sample isn't enough).
 
-Shape per iteration: assignment is a crossJoin against the BROADCAST
-k-row centroid table (k × N intermediate rows, scan-fused arithmetic,
-argmin via one ``min(struct(dist, cid))`` hash aggregation — no window
-over the corpus); the centroid update posexplodes assigned vectors to
-(cid, dim) rows and re-averages — both aggregations are map-side
-combinable, so each iteration is two shuffles whose reduce side is
-k·d-sized.  Centroids (k rows) are persisted per iteration; nothing
-row-count-sized ever reaches the driver.
+Shape per iteration: the k centroids are k·d doubles — they are pulled
+to the driver (k rows, never anything corpus-sized) and inlined as
+LITERAL arrays, so assignment is a pure scan-side projection: k
+fold-distances + one ``array_min`` argmin per row, fused into
+whole-stage codegen with ZERO shuffle and no k×N exploded intermediate.
+(The previous shape — crossJoin against a broadcast k-row table +
+``groupBy(id).min(struct)`` — shuffled the full corpus, vectors
+included, once per iteration; the rewrite removes that exchange
+entirely.)  The centroid update posexplodes assigned vectors to
+(cid, dim) rows and re-averages — map-side combinable, reduce side
+k·d-sized — and is the only shuffle left per iteration.
 
 Determinism/portability: initial centroids are the k vectors with the
 globally smallest ``hash_key(id)`` (the repo's engine-portable md5
 selection — TakeOrdered, no global sort), distances are sequential
-left-fold sums (identical FP sequence cross-engine), argmin ties break
-to the smallest centroid id, and updated centroid coordinates are
-ROUNDED (default 9 dp) so accumulation-order float noise can never flip
-a later assignment between engines.  Empty clusters simply vanish
-(matching the plain-SQL replay).
+left-fold sums (identical FP sequence cross-engine; literal centroid
+doubles round-trip the driver exactly, so the sequence is unchanged),
+argmin ties break to the smallest centroid id (``array_min`` over
+(dist, cid) structs ≡ the old ``min(struct)``), and updated centroid
+coordinates are ROUNDED (default 9 dp) so accumulation-order float
+noise can never flip a later assignment between engines.  Empty
+clusters simply vanish (matching the plain-SQL replay); surviving
+clusters keep their original cid.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..sampling import hash_key
 
 __all__ = ["kmeans_assign"]
+
+
+def _points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Null-filtered ``(id, v double[])`` projection shared by
+    :func:`kmeans_assign` and the SemDeDup caller."""
+    return df.where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _dist_to(cent: list[float]) -> Column:
+    """Squared L2 distance of ``v`` to a literal centroid — the same
+    sequential ``zip_with``/``aggregate`` left-fold FP sequence as the
+    oracle replay."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_struct(cents: list[tuple[int, list[float]]]) -> Column:
+    """``struct(d, cid)`` of the nearest centroid: ``array_min`` over
+    (dist, cid) structs — lexicographic, so distance ties break to the
+    smallest cid, identical to the previous ``min(struct)`` aggregation."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist_to(c).alias("d"),
+                    F.lit(int(cid)).cast("int").alias("cid"),
+                )
+                for cid, c in cents
+            ]
+        )
+    )
+
+
+def _fit_assign(
+    pts: DataFrame,
+    *,
+    k: int,
+    iterations: int,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Lazy ``(id, v, cid, d)`` after ``iterations`` assignment passes over
+    a (persisted) ``(id, v)`` points table.  Driver state is k·d doubles;
+    per-update cost is one k·d-sized aggregation job."""
+    # deterministic init: k globally-smallest md5-hash ids (TakeOrdered —
+    # k rows cross the wire, no global sort); cid = rank among those k
+    init_rows = (
+        pts.select(hash_key(F.col("id")).alias("hk"), "id", "v")
+        .orderBy("hk", "id")
+        .limit(k)
+        .collect()
+    )
+    init_rows.sort(key=lambda r: (r["hk"], r["id"]))
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["v"])) for i, r in enumerate(init_rows)
+    ]
+
+    for it in range(iterations):
+        m = _argmin_struct(cents)
+        assigned = pts.select(
+            "id", "v", m["cid"].alias("cid"), m["d"].alias("d")
+        )
+        if it == iterations - 1:
+            return assigned
+        # centroid update: (cid, pos)-keyed re-average — map-side
+        # combinable, k·d rows on the reduce side and on the driver
+        mean_rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), round_decimals).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        # empty clusters vanish; survivors keep their original cid
+        cents = [
+            (cid, [coords[p] for p in sorted(coords)])
+            for cid, coords in sorted(by_cid.items())
+        ]
+    raise AssertionError("unreachable")
 
 
 def kmeans_assign(
@@ -50,70 +145,13 @@ def kmeans_assign(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
 
-    pts = (
-        df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
-        .persist()
+    pts = _points(df, id_col, vec_col).persist()
+    assigned = _fit_assign(
+        pts, k=k, iterations=iterations, round_decimals=round_decimals
     )
-    pts.count()
-
-    # deterministic init: k globally-smallest md5-hash ids (TakeOrdered —
-    # k rows cross the wire, no global sort); cid = rank among those k
-    init = pts.select(hash_key(F.col("id")).alias("hk"), "id", "v").orderBy(
-        "hk", "id"
-    ).limit(k)
-    w = Window.orderBy("hk", "id")  # k-row frame: the window is fine here
-    cents = init.select(
-        (F.row_number().over(w) - 1).cast("int").alias("cid"),
-        F.col("v").alias("c"),
-    ).persist()
-    cents.count()
-
-    dist = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = None
-    for it in range(iterations):
-        assigned = (
-            pts.crossJoin(F.broadcast(cents))
-            .select("id", "v", "cid", dist.alias("d"))
-            .groupBy("id")
-            .agg(
-                F.min(F.struct(F.col("d").alias("d"), F.col("cid").alias("cid"))).alias("m"),
-                F.first("v").alias("v"),  # constant within the group
-            )
-            .select("id", "v", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
-        )
-        if it == iterations - 1:
-            break
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-        )
-        new_cents = (
-            means.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cid",
-                F.transform(
-                    "pm", lambda s: F.round(s["m"], round_decimals)
-                ).alias("c"),
-            )
-            .persist()
-        )
-        new_cents.count()
-        cents.unpersist(blocking=False)
-        cents = new_cents
-
     out = assigned.select(
         "id", F.col("cid").alias("cluster"), F.round("d", 6).alias("dist")
     )
     from ..cache import materialize_and_release
 
-    return materialize_and_release(out, pts, cents)
+    return materialize_and_release(out, pts)

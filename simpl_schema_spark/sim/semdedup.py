@@ -6,16 +6,30 @@ The trick that makes embedding dedup tractable at 10^9+ documents:
 cluster the embedding space first (k-means), then compare pairs ONLY
 within each cluster — the O(N²) global pairwise search becomes
 Σ O(|cluster|²), which the operator controls by scaling ``k`` with the
-corpus (k ≈ N / target_cluster_size keeps every self-join bucket
+corpus (k ≈ N / target_cluster_size keeps every per-cluster pair block
 bounded, the same discipline as the LSH band buckets in
 :mod:`..dedup.minhash`).
 
-Shape: one distributed k-means (:func:`.kmeans.kmeans_assign` — two
-shuffles per iteration, k·d-sized reduces), one id-keyed join to carry
-vectors onto the assignments, one cluster-keyed self-join for the
-within-cluster pairs (AQE handles small clusters via broadcast and
-skewed ones via split), and a scan-side cosine filter.  Pairs above
-``threshold`` feed the usual survivor machinery
+Shape: one distributed k-means fit (:mod:`.kmeans` — scan-side
+assignment against literal centroids, one k·d-sized reduce per update),
+then ONE cluster-keyed shuffle into an Arrow-batched ``applyInPandas``
+that enumerates each cluster's pairs and computes the dot products /
+norms with vectorized numpy.  Each vector crosses the wire exactly once
+(the previous cluster-keyed self-join shipped every vector once per
+PAIR, and the cosine ran as interpreted higher-order-function folds —
+measured 8.1 s of an 11 s query at sf0.1; the numpy form is the
+guide-§4.2 "dense linear algebra in native code" case).  Python emits
+only integer/scalar pair rows; the division, HALF_UP rounding and
+threshold cut stay JVM expressions so their semantics are untouched.
+
+Float discipline (the oracle replays the exact IEEE sequence): products
+are elementwise IEEE doubles, and both the dot and the squared norms
+are SEQUENTIAL left folds from 0.0 — ``np.add.accumulate`` over a
+zero-prepended product row reproduces ``F.aggregate``'s
+``((0.0+p0)+p1)+…`` bit-for-bit, so ``dot``/``denom`` equal the old
+expression-fold values exactly.
+
+Pairs above ``threshold`` feed the usual survivor machinery
 (:func:`~..dedup.components.dedup_groups_from_pairs` /
 :func:`~..dedup.keepbest.keep_best`).
 """
@@ -24,10 +38,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .ann import cosine
-from .kmeans import kmeans_assign
+from .kmeans import _fit_assign, _points
 
 __all__ = ["semantic_dedup_pairs"]
+
+from .ann import group_dot_pairs_pdf
+
+
+def _cluster_pairs(pdf):
+    """All (id_a < id_b) pairs within one cluster with the sequential
+    dot product and norm-product denominator."""
+    return group_dot_pairs_pdf(pdf, extra_cols={"cluster": "cid"})
 
 
 def semantic_dedup_pairs(
@@ -46,33 +67,30 @@ def semantic_dedup_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from ..cache import track
 
-    # kmeans_assign returns a PERSISTED (materialized) result; the pair
-    # plan below stays lazy, so register it for deferred release rather
-    # than leaking one corpus-sized cache per call (the packing.py
-    # lesson from round 4's review) — pipelines drop it via
-    # cache.release_tracked() after their action.
-    assign = track(
-        kmeans_assign(df, id_col, vec_col, k=k, iterations=iterations)
-    ).select("id", "cluster")
-    vecs = df.where(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    ).select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    # the scan-side assignment (kmeans._fit_assign inlines the k
+    # centroids as literals) already carries each row's VECTOR, so the
+    # pair stage consumes it directly — no (id, cluster) materialization
+    # and no id-keyed re-join of the corpus.  The points table is
+    # persisted (the fit's update pass and the pair pass both read it)
+    # and registered for deferred release rather than leaking one
+    # corpus-sized cache per call (the packing.py lesson from round 4's
+    # review) — pipelines drop it via cache.release_tracked() after
+    # their action.
+    pts = track(_points(df, id_col, vec_col).persist())
+    av = _fit_assign(pts, k=k, iterations=iterations).select(
+        "id", "cid", "v"
     )
-    av = assign.join(vecs, "id")
-    a = av.select(
-        F.col("id").alias("id_a"), F.col("cluster"), F.col("v").alias("va")
+    id_type = av.schema["id"].dataType.simpleString()
+    pair_schema = (
+        f"id_a {id_type}, id_b {id_type}, cluster int, "
+        "dot double, denom double"
     )
-    b = av.select(
-        F.col("id").alias("id_b"),
-        F.col("cluster").alias("__cb"),
-        F.col("v").alias("vb"),
-    )
-    pairs = a.join(
-        b, (a["cluster"] == b["__cb"]) & (a["id_a"] < b["id_b"])
-    )
-    cos = cosine(F.col("va"), F.col("vb"))
+    pairs = av.groupBy("cid").applyInPandas(_cluster_pairs, pair_schema)
+    # division, HALF_UP rounding and the threshold cut stay JVM-side:
+    # bit-identical to the old expression form (denom>0 guard included)
+    cos = F.when(
+        F.col("denom") > 0, F.col("dot") / F.col("denom")
+    ).otherwise(F.lit(0.0))
     return (
         pairs.select(
             "id_a", "id_b", "cluster", F.round(cos, 6).alias("cos")
