@@ -38,8 +38,11 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
-    """``(id_a, id_b)`` — every within-bucket pair, ``id_a < id_b``.
+def _bucket_pairs(
+    buckets: DataFrame, ids_col: str = "ids", *, meta_field: str = ""
+) -> DataFrame:
+    """``(id_a, id_b[, <meta>_a, <meta>_b])`` — every within-bucket pair,
+    ``id_a < id_b``.
 
     Arrow-batched numpy enumeration (one gather per distinct bucket
     length per batch) instead of the expression form
@@ -49,11 +52,28 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
     (guide §4.2).  Bucket members are DISTINCT (one inverted-index row
     per (shingle, doc)), so positional ``i < j`` pairs with
     ``min``/``max`` yield exactly the value-ordered pair set the
-    expression produced."""
+    expression produced.
+
+    With ``meta_field``, bucket members are ``struct<id, <meta_field>>``
+    rows and each side's meta value rides along (swapped consistently
+    with the id ordering) — this lets callers attach per-doc metadata to
+    pairs WITHOUT a later join against the (candidate-count-sized) pair
+    table."""
     import numpy as np
     import pyarrow as pa
 
-    id_type = buckets.schema[ids_col].dataType.elementType.simpleString()
+    elem = buckets.schema[ids_col].dataType.elementType
+    if meta_field:
+        fields = {f.name: f.dataType.simpleString() for f in elem.fields}
+        schema = (
+            f"id_a {fields['id']}, id_b {fields['id']}, "
+            f"{meta_field}_a {fields[meta_field]}, "
+            f"{meta_field}_b {fields[meta_field]}"
+        )
+    else:
+        schema = (
+            f"id_a {elem.simpleString()}, id_b {elem.simpleString()}"
+        )
 
     def gen(batches):
         tri_cache: dict = {}
@@ -62,9 +82,20 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
             if isinstance(col, pa.ChunkedArray):  # pragma: no cover
                 col = col.combine_chunks()
             offs = col.offsets.to_numpy()
-            vals = col.values.to_numpy(zero_copy_only=False)
+            if meta_field:
+                vals = col.values.field("id").to_numpy(
+                    zero_copy_only=False
+                )
+                meta = col.values.field(meta_field).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                vals = col.values.to_numpy(zero_copy_only=False)
             lengths = offs[1:] - offs[:-1]
-            out_a, out_b = [], []
+            cols: dict = {"id_a": [], "id_b": []}
+            if meta_field:
+                cols[f"{meta_field}_a"] = []
+                cols[f"{meta_field}_b"] = []
             for ell in np.unique(lengths):
                 if ell < 2:
                     continue
@@ -75,20 +106,24 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
                 ai = (starts[:, None] + iu[None, :]).ravel()
                 bi = (starts[:, None] + ju[None, :]).ravel()
                 va, vb = vals[ai], vals[bi]
-                out_a.append(np.minimum(va, vb))
-                out_b.append(np.maximum(va, vb))
-            if out_a:
+                swap = vb < va
+                cols["id_a"].append(np.where(swap, vb, va))
+                cols["id_b"].append(np.where(swap, va, vb))
+                if meta_field:
+                    ma, mb = meta[ai], meta[bi]
+                    cols[f"{meta_field}_a"].append(
+                        np.where(swap, mb, ma)
+                    )
+                    cols[f"{meta_field}_b"].append(
+                        np.where(swap, ma, mb)
+                    )
+            if cols["id_a"]:
                 yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(out_a)),
-                        pa.array(np.concatenate(out_b)),
-                    ],
-                    names=["id_a", "id_b"],
+                    [pa.array(np.concatenate(v)) for v in cols.values()],
+                    names=list(cols),
                 )
 
-    return buckets.select(ids_col).mapInArrow(
-        gen, f"id_a {id_type}, id_b {id_type}"
-    )
+    return buckets.select(ids_col).mapInArrow(gen, schema)
 
 
 def ngram_jaccard_pairs(
@@ -132,65 +167,75 @@ def ngram_jaccard_pairs(
     sets = sets.persist()
     sets.count()
 
-    inverted = sets.select("id", F.explode("sh").alias("g"))
+    # each inverted row carries its doc's SET SIZE so pairs get
+    # (n_a, n_b) straight from the bucket enumeration — no join against
+    # the (candidate-count-sized) pair table later
+    inverted = sets.select(
+        "id", F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
     g_counts = inverted.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     hot = g_counts.where(F.col("df") > max_shingle_df).select("g")
     # drop hot shingles BEFORE collect_list: every surviving bucket ≤ cap
     live = inverted.join(hot, "g", "left_anti")
     buckets = (
         live.groupBy("g")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.collect_list(F.struct("id", "n")).alias("ids"))
         .where(F.size("ids") > 1)
     )
     # co-occurrence count per pair — groupBy instead of distinct, same
     # shuffle; pair enumeration is the Arrow-batched numpy form (the
-    # interpreted lambda chain was ~2 s of the query at sf0.1)
+    # interpreted lambda chain was ~2 s of the query at sf0.1).  n_a/n_b
+    # are functionally dependent on the ids — extra group keys, same
+    # groups.
     pair_c = (
-        _bucket_pairs(buckets)
-        .groupBy("id_a", "id_b")
+        _bucket_pairs(buckets, meta_field="n")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # per-doc metadata: set size + how many shingles the hot-cap dropped
+    # hot-cap drop counts per doc: ONLY docs that lost shingles appear —
+    # usually a tiny boilerplate-heavy set (often empty), so the two
+    # left joins below broadcast and the pair table never re-shuffles.
+    # (The previous shape equi-joined the full per-doc meta table onto
+    # every candidate pair TWICE — two candidate-count-sized joins.)
     drops = (
         inverted.join(hot, "g", "inner")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_drop"))
     )
-    meta = (
-        sets.select("id", F.size("sh").alias("n"))
-        .join(drops, "id", "left")
-        .select("id", "n", F.coalesce("n_drop", F.lit(0)).alias("n_drop"))
-    )
     cand = (
         pair_c.join(
-            meta.select(
-                F.col("id").alias("id_a"),
-                F.col("n").alias("n_a"),
-                F.col("n_drop").alias("d_a"),
+            drops.select(
+                F.col("id").alias("id_a"), F.col("n_drop").alias("d_a")
             ),
             "id_a",
-        ).join(
-            meta.select(
-                F.col("id").alias("id_b"),
-                F.col("n").alias("n_b"),
-                F.col("n_drop").alias("d_b"),
+            "left",
+        )
+        .join(
+            drops.select(
+                F.col("id").alias("id_b"), F.col("n_drop").alias("d_b")
             ),
             "id_b",
+            "left",
+        )
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "c",
+            F.coalesce("d_a", F.lit(0)).alias("d_a"),
+            F.coalesce("d_b", F.lit(0)).alias("d_b"),
         )
     )
-    # candidate metadata is a few ints per pair; persist AND materialize so
-    # the fast and slow branches below (both triggered by ONE downstream
-    # action) don't race to populate the cache and recompute the pair/meta
-    # shuffles each
-    cand = cand.persist()
-    cand.count()
     # neither side lost shingles → c == |A∩B|, Jaccard exact from counts
     count_exact = F.least("d_a", "d_b") == 0
     j_count = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
-    fast = (
-        cand.where(count_exact)
-        .select("id_a", "id_b", j_count.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    # keep only pairs that can still produce output — threshold-passing
+    # count-exact pairs plus every drop-affected pair (their true
+    # Jaccard needs the slow verify) — BEFORE persisting, so the cache
+    # holds ~output-sized rows instead of every candidate
+    cand = cand.where(
+        (count_exact & (j_count >= threshold)) | ~count_exact
+    ).persist()
+    cand.count()
+    fast = cand.where(count_exact).select(
+        "id_a", "id_b", j_count.alias("jaccard")
     )
     # both sides boilerplate-heavy: exact verify on the full hashed sets
     slow_pairs = cand.where(~count_exact).select("id_a", "id_b")

@@ -174,44 +174,59 @@ def remove_duplicate_spans(
     staged = staged.persist()
     staged.count()
     spans = _spans_from_staged(staged, k, min_count)
-    # spans are disjoint by construction -> exploding them enumerates
-    # each removed token index exactly once (no distinct needed)
-    removed = spans.select(
-        "doc_id",
-        "__sid",
-        F.explode(F.sequence("__start", "__end")).alias("__ri"),
+    # Reassembly by GAP SLICING: collapse each document's (disjoint,
+    # sorted) spans to one array row, left-join it onto the staged
+    # tokens (doc-keyed, span-table-sized), and keep the tokens BETWEEN
+    # spans via slice() over the gap boundaries — O(n + #spans) per doc
+    # with the token arrays never leaving their scan partition.  (The
+    # previous shape posexploded every corpus token into a (doc, idx)
+    # shuffle join against exploded removed indices and re-collected
+    # documents with a sort aggregation — two corpus-token-sized
+    # exchanges doing what a per-row expression can.)
+    spans_per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__start").alias("s"), F.col("__end").alias("e")
+                )
+            )
+        ).alias("__sp")
     )
-    tokens = staged.select(
-        "doc_id", F.posexplode("__toks").alias("__idx", "__tok")
+    joined = staged.join(spans_per_doc, "doc_id", "left")
+    n = F.size("__toks")
+    sp = F.coalesce(
+        F.col("__sp"), F.array().cast("array<struct<s:int,e:int>>")
     )
-    flagged = tokens.join(
-        removed,
-        (tokens["doc_id"] == removed["doc_id"])
-        & (F.col("__idx") == F.col("__ri")),
-        "left",
-    ).select(tokens["doc_id"], "__idx", "__tok", "__sid")
+    # gap g runs from (previous span end + 1) to (next span start - 1);
+    # the leading gap starts at 0 and the trailing one ends at n-1.
+    # Spans are maximal and disjoint, so gaps are well-ordered; empty
+    # gaps produce zero-length slices.
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(sp, lambda s: s["e"] + 1)
+    )
+    gap_ends = F.concat(
+        F.transform(sp, lambda s: s["s"] - 1), F.array(n - 1)
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda a, b: F.slice(
+                "__toks", a + 1, F.greatest(b - a + 1, F.lit(0))
+            ),
+        )
+    )
     from ..cache import materialize_and_release
 
-    result = flagged.groupBy(F.col("doc_id").alias(id_col)).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("__sid").isNull(),
-                            F.struct(
-                                F.col("__idx").alias("p"),
-                                F.col("__tok").alias("t"),
-                            ),
-                        )
-                    )
-                ),
-                lambda s: s["t"],
-            ),
-        ).alias("text_deduped"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count(F.col("__sid")).alias("n_dup_tokens"),
-        F.count_distinct(F.col("__sid")).alias("n_spans"),
+    result = joined.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(kept, " ").alias("text_deduped"),
+        n.cast("long").alias("n_tokens"),
+        F.aggregate(
+            sp,
+            F.lit(0),
+            lambda acc, s: acc + (s["e"] - s["s"] + F.lit(1)),
+        ).cast("long").alias("n_dup_tokens"),
+        F.size(sp).cast("long").alias("n_spans"),
     )
     return materialize_and_release(result, staged)

@@ -192,27 +192,15 @@ def fingerprint_overlap_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .where(F.size("ids") > 1)
     )
+    # pair enumeration via the shared Arrow-batched numpy form (posting
+    # lists hold DISTINCT ids, so positional pairs ≡ value-ordered pairs
+    # — see ngram._bucket_pairs; the interpreted lambda chain it replaces
+    # dominated the candidate stage)
+    from .ngram import _bucket_pairs
+
     pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.filter(
-                            F.transform(
-                                F.col("ids"),
-                                lambda b: F.when(
-                                    a < b,
-                                    F.struct(a.alias("id_a"), b.alias("id_b")),
-                                ),
-                            ),
-                            lambda s: s.isNotNull(),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .groupBy("p.id_a", "p.id_b")
+        _bucket_pairs(buckets)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )

@@ -105,6 +105,22 @@ def pagerank(
     ).persist()
 
     ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).persist()
+
+    def dangling_mass(r: DataFrame) -> float:
+        """Σ rank over the dangling vertices, pulled as ONE driver scalar
+        (a 1-row aggregate over the persisted rank table — never anything
+        vertex-count-sized).  Inlined as a literal, it removes the
+        per-iteration BroadcastExchange sub-job the old 1-row crossJoin
+        needed; the float is identical (same aggregate, exact driver
+        round-trip)."""
+        return (
+            r.join(dangling_ids, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .first()["dm"]
+        )
+
+    # this first aggregate also materializes ranks and dangling_ids
+    dm = dangling_mass(ranks)
     base = F.lit((1.0 - damping) / n)
     for it in range(iterations):
         contribs = (
@@ -112,13 +128,8 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
         )
-        dangling = (
-            ranks.join(dangling_ids, "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
         new_ranks = (
             vertices.join(contribs, vertices["id"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
@@ -126,16 +137,24 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
+                        + F.lit(dm) / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             new_ranks = new_ranks.localCheckpoint(eager=True)
+            if it < iterations - 1:
+                dm = dangling_mass(new_ranks)
         else:
             new_ranks = new_ranks.persist()
-            new_ranks.count()
+            if it < iterations - 1:
+                # ONE action per iteration: the next step's dangling
+                # scalar both materializes the persisted ranks and
+                # returns the driver literal
+                dm = dangling_mass(new_ranks)
+            else:
+                new_ranks.count()
         ranks.unpersist(blocking=False)
         ranks = new_ranks
 

@@ -192,6 +192,9 @@ def sequence_chunks(
         last.alias("chunk_last"),
         (last - first + 1).alias("n_chunks"),
     )
-    # release the prefix-sum cache once the layout (same row count,
-    # pure-projection-cheap) is materialized — no per-call cache leak
-    return materialize_and_release(out, pre)
+    # the layout is a pure projection over the (already-materialized)
+    # prefix-sum frame — return it lazy instead of paying a second
+    # persist+count pass over the same rows; the cached `pre` it reads
+    # is registered for deferred release (release_tracked()/clearCache)
+    track(pre)
+    return out

@@ -50,32 +50,53 @@ def _points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _dist_to(cent: list[float]) -> Column:
-    """Squared L2 distance of ``v`` to a literal centroid — the same
-    sequential ``zip_with``/``aggregate`` left-fold FP sequence as the
-    oracle replay."""
-    c = F.array(*[F.lit(float(x)) for x in cent])
-    return F.aggregate(
-        F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _argmin_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow-batched nearest-centroid assignment:
+    ``v → struct(cid int, d double)``.
 
+    Dense distance arithmetic in vectorized numpy (guide §4.2) with the
+    EXACT FP sequence of the expression form it replaces
+    (``aggregate(zip_with(v, c, (a-b)*(a-b)), 0.0, acc+x)`` then
+    ``min(struct(d, cid))``): per-element double subtract/multiply, a
+    sequential left-fold double sum from 0.0 (``np.add.accumulate``
+    with a zero prepend), and argmin ties breaking to the smallest cid
+    (``np.argmin`` returns the first minimum; NaN distances are mapped
+    to +inf for the argmin only, matching Spark's NaN-sorts-last
+    ordering, while the reported ``d`` keeps the raw value)."""
+    import numpy as np
+    import pandas as pd
 
-def _argmin_struct(cents: list[tuple[int, list[float]]]) -> Column:
-    """``struct(d, cid)`` of the nearest centroid: ``array_min`` over
-    (dist, cid) structs — lexicographic, so distance ties break to the
-    smallest cid, identical to the previous ``min(struct)`` aggregation."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _dist_to(c).alias("d"),
-                    F.lit(int(cid)).cast("int").alias("cid"),
-                )
-                for cid, c in cents
-            ]
+    from pyspark.sql import types as T
+
+    cids = np.array([cid for cid, _c in cents], dtype=np.int32)
+    cmat = np.array([c for _cid, c in cents], dtype=np.float64)
+
+    # NOTE: no type hints — Series→DataFrame(struct) is declared via the
+    # explicit returnType; hinted signatures trip the eval-type inference
+    def _assign(vs):
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        diff = mat[:, None, :] - cmat[None, :, :]
+        prods = diff * diff
+        z = np.zeros(prods.shape[:2] + (1,), dtype=np.float64)
+        dists = np.add.accumulate(
+            np.concatenate([z, prods], axis=2), axis=2
+        )[:, :, -1]
+        pick = np.argmin(
+            np.where(np.isnan(dists), np.inf, dists), axis=1
         )
+        rows = np.arange(len(mat))
+        return pd.DataFrame(
+            {"cid": cids[pick], "d": dists[rows, pick]}
+        )
+
+    return F.pandas_udf(
+        _assign,
+        T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("d", T.DoubleType()),
+            ]
+        ),
     )
 
 
@@ -103,7 +124,7 @@ def _fit_assign(
     ]
 
     for it in range(iterations):
-        m = _argmin_struct(cents)
+        m = _argmin_udf(cents)(F.col("v"))
         assigned = pts.select(
             "id", "v", m["cid"].alias("cid"), m["d"].alias("d")
         )
