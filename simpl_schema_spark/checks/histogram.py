@@ -62,12 +62,17 @@ def histogram(
 
     width = (hi_c - lo_c) / F.lit(float(bins))
     raw = F.floor((F.col("__x") - lo_c) / width)
+    # clamp in DOUBLE before the int cast: with an explicit narrow
+    # [lo, hi] an extreme outlier makes |raw| exceed int range, and a
+    # double→int cast of that value wraps (non-ANSI) or throws (ANSI)
+    # before the old int-side clamp could fix it — clamped first, the
+    # cast input is always within [0, bins-1]
     b = (
         F.when(hi_c <= lo_c, F.lit(0))           # degenerate range
         .otherwise(
             F.greatest(
-                F.lit(0), F.least(F.lit(bins - 1), raw.cast("int"))
-            )
+                F.lit(0.0), F.least(F.lit(float(bins - 1)), raw)
+            ).cast("int")
         )
         .cast("int")
     )

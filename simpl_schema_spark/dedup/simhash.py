@@ -98,6 +98,61 @@ def simhash_from_hashes(hashes: Column) -> Column:
     return F.when(n > 0, word)
 
 
+def _simhash_arrow(token_hashes: DataFrame) -> DataFrame:
+    """``(id, sh)`` SimHash words from an ``(id, th array<bigint>)``
+    frame — Arrow-batched numpy bit counting (pure INTEGER arithmetic,
+    bit-identical to :func:`simhash_from_hashes`; rows with empty/null
+    hash arrays are dropped, matching the old NULL-word filter).
+
+    The expression form folds a 64-element counter array per token
+    through interpreted higher-order lambdas (~n_tokens × 64 lambda
+    evaluations per document); one unpacked-bit matrix sum per Arrow
+    batch does the same counting vectorized (guide §4.2), and it also
+    removes the separate token-hash materialization pass the
+    twice-referencing fold needed."""
+    import numpy as np
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy()
+            vals = col.values.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ).view(np.uint64)
+            lengths = offs[1:] - offs[:-1]
+            keep = lengths > 0
+            if not keep.any():
+                continue
+            # per-token 64-bit unpack → per-doc column sums via
+            # segment reduction (reduceat over the flat token stream)
+            bits = (
+                (vals[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            # segments between consecutive KEPT starts cover exactly one
+            # kept row's tokens (empty rows contribute no values)
+            starts = offs[:-1][keep]
+            counts = np.add.reduceat(bits, starts, axis=0)
+            n = lengths[keep][:, None]
+            word = (
+                ((counts * 2 > n).astype(np.uint64)
+                 << np.arange(64, dtype=np.uint64)[None, :])
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[keep]), pa.array(word)],
+                names=["id", "sh"],
+            )
+
+    id_type = token_hashes.schema["id"].dataType.simpleString()
+    return token_hashes.mapInArrow(gen, f"id {id_type}, sh bigint")
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (JVM intrinsic)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -124,26 +179,14 @@ def simhash_near_duplicates(
     chunk_bits = _BITS // bands
     mask = (1 << chunk_bits) - 1
     th = _token_hash(hash_family)
-    # materialize token hashes BEFORE the fingerprint projection: the
-    # fingerprint references `th` twice (size + aggregate) and fusing it
-    # with the tokenize pipeline re-evaluates the text processing per
-    # reference (see minhash.py — measured 3x wall)
-    token_hashes = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                word_tokens(normalized_text(F.col(text_col))), lambda t: th(t)
-            ).alias("th"),
-        )
-        .persist()
+    token_hashes = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_tokens(normalized_text(F.col(text_col))), lambda t: th(t)
+        ).alias("th"),
     )
-    token_hashes.count()
     sigs = (
-        token_hashes.select(
-            "id", simhash_from_hashes(F.col("th")).alias("sh")
-        )
-        .where(F.col("sh").isNotNull())
+        _simhash_arrow(token_hashes)
         # consumed twice by the bounded bucket builder (count + collect):
         # persist so the fingerprint pipeline runs once
         .persist()
@@ -156,7 +199,7 @@ def simhash_near_duplicates(
         max_hamming=max_hamming,
         bands=bands,
         max_bucket_size=max_bucket_size,
-        _intermediates=(token_hashes, sigs),
+        _intermediates=(sigs,),
         _presigned=True,
     )
 

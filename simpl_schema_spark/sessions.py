@@ -83,10 +83,16 @@ def sessionize(
         prev.isNull() | ((us - prev) <= gap_us), F.lit(0)
     ).otherwise(F.lit(1))
     # running sum of breaks = 0-based session index; the sum window frame
-    # is unbounded-preceding..current over the SAME (user, ts, id) order,
-    # so Spark evaluates both in one sort pass
+    # is an explicit ROWS unbounded-preceding..current over the SAME
+    # (user, ts, id) order, so Spark evaluates both in one sort pass.
+    # ROWS (not the default RANGE) because RANGE makes PEER rows —
+    # duplicate (ts, id) pairs for one user — share the running sum,
+    # diverging from the oracle's ROWS frame; (ts_col, id_col) should be
+    # unique per user, and with ROWS the index is well-defined even when
+    # they are not.
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(
-        "session_idx", F.sum(is_break).over(w).cast("long")
+        "session_idx", F.sum(is_break).over(w_sum).cast("long")
     )
 
 

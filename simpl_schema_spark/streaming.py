@@ -299,15 +299,19 @@ def streaming_sessions(
     gap_us = int(gap_minutes) * 60_000_000
     # null-timestamp rows carry no ordering information and pandas would
     # otherwise fold NaT into a garbage int64 — drop them scan-side
+    # group on the user column in its NATIVE type: a hard cast to long
+    # would turn non-numeric user ids into NULL after the null filter,
+    # silently merging all such users into one shared session state
     ev = stream_df.where(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
-        F.col(user_col).cast("long").alias("user_id"),
+        F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("__ts"),
     )
+    user_type = ev.schema["user_id"].dataType.simpleString()
     out_schema = (
-        "user_id bigint, session_start_us bigint, session_end_us bigint, "
-        "n_events bigint, closed_by string"
+        f"user_id {user_type}, session_start_us bigint, "
+        "session_end_us bigint, n_events bigint, closed_by string"
     )
     state_schema = "start_us bigint, end_us bigint, n_events bigint"
 

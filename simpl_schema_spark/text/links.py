@@ -25,7 +25,11 @@ PageRank.
 Deliberate simplifications (documented, not bugs): dot-segments (``../``)
 are not collapsed, only double-quoted hrefs are matched (single-quoted and
 unquoted attributes are rare in modern HTML and double the regex cost),
-and srcset/meta-refresh targets are out of scope.
+srcset/meta-refresh targets are out of scope, and query-only references
+(``?page=2``) resolve through the path-relative branch
+(origin + base directory + link) rather than RFC 3986 §5.3's
+keep-full-base-path-replace-query rule — the oracle replays the same
+branch, so the deviation is cross-engine-consistent.
 """
 
 from __future__ import annotations

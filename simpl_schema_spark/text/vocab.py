@@ -161,12 +161,13 @@ def tf_idf_top_terms(
         "doc_id", F.explode(_tokens(F.col("__text"))).alias("token")
     )
     tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        terms.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # tf IS the distinct (doc, token) set — document frequencies
+    # aggregate the (much smaller) tf table instead of re-exploding the
+    # corpus through a distinct().  tf is persisted because the score
+    # join and this aggregate both read it.
+    tf = tf.persist()
+    tf.count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
     scored = tf.join(dfreq, "token").select(
@@ -191,8 +192,9 @@ def tf_idf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "tf_idf", "rank")
     )
-    # docs feeds BOTH aggregation branches of out's single action — release
-    # its cache only after the (k-per-doc-sized) result is materialized
+    # docs/tf feed both aggregation branches of out's single action —
+    # release their caches only after the (k-per-doc-sized) result is
+    # materialized
     from ..cache import materialize_and_release
 
-    return materialize_and_release(out, docs)
+    return materialize_and_release(out, docs, tf)
