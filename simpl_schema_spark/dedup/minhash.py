@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from ..text.analysis import normalized_text, word_tokens
-from .buckets import bounded_buckets
+from .buckets import bounded_buckets, bucket_pairs
 
 __all__ = [
     "shingles",
@@ -326,24 +326,11 @@ def lsh_candidate_pairs(
         exploded, ["band_idx", "band_hash"], F.col("id"),
         max_bucket_size=max_bucket_size, members_alias="ids",
     )
-    # pairs within bucket (bounded by max_bucket_size² per bucket)
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a: F.filter(
-                        F.transform(
-                            F.col("ids"),
-                            lambda b: F.when(a < b, F.struct(a.alias("id_a"), b.alias("id_b"))),
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return pairs.distinct()
+    # pairs within bucket (bounded by max_bucket_size² per bucket) — the
+    # shared Arrow-batched numpy enumeration (buckets.bucket_pairs); the
+    # interpreted explode(flatten(transform(filter(transform)))) chain it
+    # replaces evaluated two lambdas per member² per bucket (guide §4.2)
+    return bucket_pairs(buckets, "ids").distinct()
 
 
 def minhash_near_duplicates(

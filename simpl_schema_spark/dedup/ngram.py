@@ -38,92 +38,10 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def _bucket_pairs(
-    buckets: DataFrame, ids_col: str = "ids", *, meta_field: str = ""
-) -> DataFrame:
-    """``(id_a, id_b[, <meta>_a, <meta>_b])`` — every within-bucket pair,
-    ``id_a < id_b``.
-
-    Arrow-batched numpy enumeration (one gather per distinct bucket
-    length per batch) instead of the expression form
-    ``explode(flatten(transform(ids, a → filter(transform(ids, b →
-    when(a<b, struct))))))`` — higher-order lambdas are interpreted, so
-    at ~1M candidate pairs that chain was the operator's dominant cost
-    (guide §4.2).  Bucket members are DISTINCT (one inverted-index row
-    per (shingle, doc)), so positional ``i < j`` pairs with
-    ``min``/``max`` yield exactly the value-ordered pair set the
-    expression produced.
-
-    With ``meta_field``, bucket members are ``struct<id, <meta_field>>``
-    rows and each side's meta value rides along (swapped consistently
-    with the id ordering) — this lets callers attach per-doc metadata to
-    pairs WITHOUT a later join against the (candidate-count-sized) pair
-    table."""
-    import numpy as np
-    import pyarrow as pa
-
-    elem = buckets.schema[ids_col].dataType.elementType
-    if meta_field:
-        fields = {f.name: f.dataType.simpleString() for f in elem.fields}
-        schema = (
-            f"id_a {fields['id']}, id_b {fields['id']}, "
-            f"{meta_field}_a {fields[meta_field]}, "
-            f"{meta_field}_b {fields[meta_field]}"
-        )
-    else:
-        schema = (
-            f"id_a {elem.simpleString()}, id_b {elem.simpleString()}"
-        )
-
-    def gen(batches):
-        tri_cache: dict = {}
-        for batch in batches:
-            col = batch.column(0)
-            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
-                col = col.combine_chunks()
-            offs = col.offsets.to_numpy()
-            if meta_field:
-                vals = col.values.field("id").to_numpy(
-                    zero_copy_only=False
-                )
-                meta = col.values.field(meta_field).to_numpy(
-                    zero_copy_only=False
-                )
-            else:
-                vals = col.values.to_numpy(zero_copy_only=False)
-            lengths = offs[1:] - offs[:-1]
-            cols: dict = {"id_a": [], "id_b": []}
-            if meta_field:
-                cols[f"{meta_field}_a"] = []
-                cols[f"{meta_field}_b"] = []
-            for ell in np.unique(lengths):
-                if ell < 2:
-                    continue
-                if ell not in tri_cache:
-                    tri_cache[ell] = np.triu_indices(int(ell), 1)
-                iu, ju = tri_cache[ell]
-                starts = offs[:-1][lengths == ell]
-                ai = (starts[:, None] + iu[None, :]).ravel()
-                bi = (starts[:, None] + ju[None, :]).ravel()
-                va, vb = vals[ai], vals[bi]
-                swap = vb < va
-                cols["id_a"].append(np.where(swap, vb, va))
-                cols["id_b"].append(np.where(swap, va, vb))
-                if meta_field:
-                    ma, mb = meta[ai], meta[bi]
-                    cols[f"{meta_field}_a"].append(
-                        np.where(swap, mb, ma)
-                    )
-                    cols[f"{meta_field}_b"].append(
-                        np.where(swap, ma, mb)
-                    )
-            if cols["id_a"]:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.concatenate(v)) for v in cols.values()],
-                    names=list(cols),
-                )
-
-    return buckets.select(ids_col).mapInArrow(gen, schema)
+# shared Arrow-batched within-bucket pair enumeration — moved to
+# buckets.bucket_pairs so the MinHash/SimHash candidate generators use
+# the same vectorized form; kept importable under the old private name
+from .buckets import bucket_pairs as _bucket_pairs  # noqa: E402
 
 
 def ngram_jaccard_pairs(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..text.analysis import normalized_text, word_tokens
-from .buckets import bounded_buckets
+from .buckets import bounded_buckets, bucket_pairs
 
 __all__ = [
     "simhash",
@@ -255,31 +255,16 @@ def hamming_near_duplicates(
         exploded, ["chunk_idx", "chunk_val"], F.struct("id", "sh"),
         max_bucket_size=max_bucket_size,
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("members"),
-                    lambda a: F.filter(
-                        F.transform(
-                            F.col("members"),
-                            lambda b: F.when(
-                                a.getField("id") < b.getField("id"),
-                                F.struct(
-                                    a.getField("id").alias("id_a"),
-                                    b.getField("id").alias("id_b"),
-                                    hamming_distance(
-                                        a.getField("sh"), b.getField("sh")
-                                    ).alias("hamming"),
-                                ),
-                            ),
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.*")
+    # within-bucket pairs via the shared Arrow-batched enumeration
+    # (buckets.bucket_pairs, meta_field carries each side's fingerprint);
+    # the Hamming popcount stays a JVM intrinsic on the pair rows — the
+    # interpreted explode(flatten(transform(filter(transform)))) chain it
+    # replaces evaluated two lambdas per member² per bucket (guide §4.2)
+    pairs = bucket_pairs(buckets, "members", meta_field="sh").select(
+        "id_a",
+        "id_b",
+        hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+    )
     out = pairs.where(F.col("hamming") <= max_hamming).distinct()
     # materialize the (small) pair result, then drop the intermediate caches
     from ..cache import materialize_and_release

@@ -122,6 +122,7 @@ def pagerank(
     # this first aggregate also materializes ranks and dangling_ids
     dm = dangling_mass(ranks)
     base = F.lit((1.0 - damping) / n)
+    final_eager = True
     for it in range(iterations):
         contribs = (
             trans.join(ranks, trans["src"] == ranks["id"])
@@ -146,19 +147,35 @@ def pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=True)
             if it < iterations - 1:
                 dm = dangling_mass(new_ranks)
-        else:
+            ranks.unpersist(blocking=False)
+        elif it < iterations - 1:
             new_ranks = new_ranks.persist()
-            if it < iterations - 1:
-                # ONE action per iteration: the next step's dangling
-                # scalar both materializes the persisted ranks and
-                # returns the driver literal
-                dm = dangling_mass(new_ranks)
-            else:
-                new_ranks.count()
-        ranks.unpersist(blocking=False)
+            # ONE action per iteration: the next step's dangling scalar
+            # both materializes the persisted ranks and returns the
+            # driver literal
+            dm = dangling_mass(new_ranks)
+            ranks.unpersist(blocking=False)
+        else:
+            # final iteration: no eager count — the CALLER's first action
+            # materializes the persisted result (one fewer vertex-sized
+            # job per pagerank call).  The inputs it still reads
+            # (previous ranks, trans, vertices) stay cached until then:
+            # deferred release via cache.track().
+            from .cache import track
+
+            new_ranks = new_ranks.persist()
+            track(ranks)
+            final_eager = False
         ranks = new_ranks
 
-    trans.unpersist(blocking=False)
-    vertices.unpersist(blocking=False)
-    dangling_ids.unpersist(blocking=False)
+    if final_eager:
+        trans.unpersist(blocking=False)
+        vertices.unpersist(blocking=False)
+        dangling_ids.unpersist(blocking=False)
+    else:
+        from .cache import track
+
+        track(trans)
+        track(vertices)
+        track(dangling_ids)
     return ranks

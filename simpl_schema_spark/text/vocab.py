@@ -155,8 +155,15 @@ def tf_idf_top_terms(
     docs = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     )
-    docs = docs.persist()
-    n_docs = docs.count()
+    # n_docs stays a LAZY 1-row aggregate broadcast-cross-joined below —
+    # no eager count job and no corpus-sized persist; the idf division
+    # consumes the count cast to double, the identical IEEE value the old
+    # F.lit(float(n_docs)) literal carried.  docs is consumed twice
+    # (terms + this count) but both are scan-level projections, so the
+    # cost is one extra column-pruned scan, not a shuffle.
+    n_docs_df = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
     terms = docs.select(
         "doc_id", F.explode(_tokens(F.col("__text"))).alias("token")
     )
@@ -170,14 +177,18 @@ def tf_idf_top_terms(
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
-    scored = tf.join(dfreq, "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "df",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
-            "tf_idf"
-        ),
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias(
+                "tf_idf"
+            ),
+        )
     )
     # rank on a QUANTIZED score (micro-units, bigint): Math.log and a SQL
     # engine's ln() may differ in the last ulp, and two mathematically
@@ -192,9 +203,8 @@ def tf_idf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "tf_idf", "rank")
     )
-    # docs/tf feed both aggregation branches of out's single action —
-    # release their caches only after the (k-per-doc-sized) result is
-    # materialized
+    # tf feeds both aggregation branches of out's single action — release
+    # its cache only after the (k-per-doc-sized) result is materialized
     from ..cache import materialize_and_release
 
-    return materialize_and_release(out, docs, tf)
+    return materialize_and_release(out, tf)
