@@ -73,18 +73,18 @@ def md5_long60(col: Column) -> Column:
 
 def md5_long64(col: Column) -> Column:
     """Portable FULL-64-bit hash as a signed bigint: first 16 hex chars
-    of md5, two's-complement-wrapped through exact decimal arithmetic
-    (``conv`` yields the unsigned value as a string; values ≥ 2^63 would
-    overflow a direct long cast under ANSI).  Bit pattern matches DuckDB's
+    of md5 assembled from two 8-hex-char halves (each < 2^32, an exact
+    long cast) with ``shiftleft``/``bitwiseOR`` — the JVM ``<<`` wraps
+    the sign bit for itself, replacing the previous decimal(20,0)
+    two's-complement subtraction (software decimal per token was the
+    measurable cost of the md5 SimHash token-hash stage).  Bit pattern
+    unchanged, matching DuckDB's
     ``('0x' || substring(md5(x), 1, 16))::ubigint`` — bitwise consumers
     (simhash) see identical bits either way."""
-    u = F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
-    two_pow_64 = F.expr(f"CAST({1 << 64} AS DECIMAL(21,0))")
-    return (
-        F.when(u > F.lit((1 << 63) - 1), u - two_pow_64)
-        .otherwise(u)
-        .cast("long")
-    )
+    h = F.md5(col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 # XXH64 primes — public algorithm constants (xxHash spec); used to
 # replicate Spark's XxHash64 on longs bit-exactly in numpy
@@ -278,6 +278,97 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 7):
     return F.pandas_udf(_sig, T.ArrayType(T.LongType()))
 
 
+def _minhash_sigs_arrow(
+    hashed: DataFrame,
+    num_perm: int,
+    seed: int,
+    hash_family: str,
+) -> DataFrame:
+    """``(id, sig array<bigint>)`` from ``(id, hs array<bigint>)`` shingle
+    HASHES — whole-batch vectorized signatures, bit-identical to
+    :func:`minhash_signature`'s fold for both families.
+
+    The expression fold evaluates its permutation lambdas INTERPRETED
+    (higher-order functions never enter whole-stage codegen), which makes
+    the P×|shingles| permutation sweep the signature stage's dominant
+    cost (~2 s of the md5-family contract query at sf0.1).  Here each
+    Arrow batch computes one (P, total_shingles) permutation sweep as
+    flat numpy vector ops and collapses it to per-document minima with
+    ``np.minimum.reduceat`` — the same whole-batch-segment shape that
+    made :func:`..simhash._simhash_arrow` win, and the opposite of the
+    per-row :func:`minhash_signature_udf` dispatch that LOST (its
+    negative result stands; the per-row Python loop was the problem,
+    not Arrow).
+
+    Exactness: md5 family = ``(a_p·h + b_p) mod 2^61-1`` in uint64 via
+    the same Mersenne fold (every intermediate < 2^63, nothing wraps);
+    xxhash64 family = the numpy XXH64 replica already verified
+    bit-identical to Spark's two-argument ``xxhash64(h, p)`` (TestANN).
+    Empty hash arrays yield no row, matching the NULL-signature filter.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if hash_family == "md5":
+        a_co, b_co = md5_permutation_family(num_perm, seed)
+        a_np = np.array(a_co, dtype=np.uint64)
+        b_np = np.array(b_co, dtype=np.uint64)
+        m_np = np.uint64(MERSENNE61)
+        mask30 = np.uint64((1 << 30) - 1)
+        mask31 = np.uint64((1 << 31) - 1)
+
+        def perm_row(h, p):
+            x = a_np[p] * (h >> np.uint64(30))
+            fold = (x >> np.uint64(31)) + ((x & mask31) << np.uint64(30))
+            return (a_np[p] * (h & mask30) + fold + b_np[p]) % m_np
+
+    else:
+        perms = np.arange(seed, seed + num_perm, dtype=np.int64).view(
+            np.uint64
+        )
+
+        def perm_row(h, p):
+            return _xxh64_int(perms[p], _xxh64_long(h, np.uint64(42)))
+
+    def gen(batches):
+        for batch in batches:
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            ids = batch.column(0)
+            offs = col.offsets.to_numpy()
+            vals = (
+                col.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            lengths = offs[1:] - offs[:-1]
+            keep = lengths > 0
+            if not keep.any():
+                continue
+            starts = offs[:-1][keep]
+            n_rows = int(keep.sum())
+            mins = np.empty((num_perm, n_rows), dtype=np.int64)
+            for p in range(num_perm):
+                v = perm_row(vals, p)
+                # SIGNED minimum — F.least compares longs as signed
+                # (md5-family values are < 2^61, where the orders agree)
+                mins[p] = np.minimum.reduceat(v.view(np.int64), starts)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(n_rows + 1, dtype=np.int64) * num_perm,
+                    type=pa.int32(),
+                ),
+                pa.array(mins.T.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids.filter(pa.array(keep)), sig], names=["id", "sig"]
+            )
+
+    id_type = hashed.schema["id"].dataType.simpleString()
+    return hashed.mapInArrow(gen, f"id {id_type}, sig array<bigint>")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -369,15 +460,29 @@ def minhash_near_duplicates(
             word_tokens(normalized_text(F.col(text_col))).alias("__toks"),
         )
         .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
+        # LAZY persist, no eager count: the InMemoryRelation boundary is
+        # what blocks CollapseProject from inlining the shingle pipeline
+        # into the signature fold's multiple references (measured 4x wall
+        # without it), and `sets` has exactly ONE consumer (the signature
+        # projection below), so the sigs count() materializes both in one
+        # pipelined action with no cache-population race.
         .persist()
     )
-    sets.count()
-    sigs = sets.select(
-        "id",
-        minhash_signature(
-            F.col("sh"), num_perm, hash_family=hash_family
-        ).alias("sig"),
-    ).where(F.col("sig").isNotNull())
+    # shingle strings hash to longs JVM-side (one cheap pass), then the
+    # P-permutation sweep + per-document minima run whole-batch in numpy
+    # (_minhash_sigs_arrow) — bit-identical to the expression fold, which
+    # evaluated its lambdas interpreted and dominated the signature stage
+    hash_one = (
+        md5_long60 if hash_family == "md5" else (lambda s: F.xxhash64(s))
+    )
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
+        )
+    hashed = sets.select(
+        "id", F.transform(F.col("sh"), hash_one).alias("hs")
+    )
+    sigs = _minhash_sigs_arrow(hashed, num_perm, 7, hash_family)
     # signatures are consumed four times (bucket count + collect + both
     # verify sides): persist AND materialize eagerly — independent stages of
     # one action otherwise race to populate the cache, duplicating the
