@@ -61,10 +61,32 @@ from .regex import js_regex_repr, to_java_regex
 
 __all__ = ["RuleCompiler", "compile_violations", "spark_rule"]
 
+# Plan-construction cost note (guide §1.2 step 2 applied to the DRIVER):
+# schema compilation issues thousands of py4j round-trips (~0.14 ms each)
+# building Column fragments; the fragments below are identical every time
+# (unbound literal expressions — immutable Catalyst trees, safe to share
+# across parents and across queries), so they are built once per process.
+# Data-size-independent, but at bench scale construction was ~60% of the
+# validate-family wall (measured 1.0s construct vs 0.6s run at sf0.1).
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def _null_str() -> Column:
     return F.lit(None).cast("string")
 
 
+@lru_cache(maxsize=None)
+def _null_str_alias(fname: str) -> Column:
+    return _null_str().alias(fname)
+
+
+@lru_cache(maxsize=None)
+def _errtype_lit(errtype: str) -> Column:
+    return F.lit(errtype).cast("string").alias("type")
+
+
+@lru_cache(maxsize=None)
 def _null_violation() -> Column:
     return F.lit(None).cast(VIOLATION_SCHEMA)
 
@@ -93,14 +115,14 @@ def violation(
         value = _null_str()
     cols = [
         name.cast("string").alias("name"),
-        (F.lit(errtype) if isinstance(errtype, str) else errtype)
-        .cast("string")
-        .alias("type"),
+        _errtype_lit(errtype)
+        if isinstance(errtype, str)
+        else errtype.cast("string").alias("type"),
         value.cast("string").alias("value"),
     ]
     for fname, v in extras.items():
         if v is None:
-            cols.append(_null_str().alias(fname))
+            cols.append(_null_str_alias(fname))
         elif isinstance(v, Column):
             cols.append(v.cast("string").alias(fname))
         else:
