@@ -60,16 +60,18 @@ def connected_components(
     threshold the distributed hash-min loop takes over (set the threshold
     to 0 to force it).
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .persist()
-    )
-    n_sym = sym.count()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    # ONE bounded probe job instead of count-then-collect: limit(cap+1)
+    # fetches the complete edge set when the graph is at or under the
+    # driver threshold (the common near-dup case) and stops scanning
+    # early when it is over — the full collect of a huge graph the
+    # separate count() guarded against still cannot happen.
+    cap = 2 * small_graph_threshold
+    rows = sym.limit(cap + 1).collect()
 
-    if n_sym <= 2 * small_graph_threshold:
-        rows = sym.collect()
+    if len(rows) <= cap:
         parent: dict = {}
 
         def find(x):
@@ -97,9 +99,11 @@ def connected_components(
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("component", id_type)]
         )
-        result = sym.sparkSession.createDataFrame(out_rows, schema)
-        sym.unpersist(blocking=False)
-        return result
+        return sym.sparkSession.createDataFrame(out_rows, schema)
+    # distributed path: NOW persist the (large) symmetrized edge table —
+    # the loop reads it every iteration.  labels.count() materializes
+    # labels and, through its single-consumer lineage, the sym cache.
+    sym = sym.persist()
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()

@@ -83,9 +83,14 @@ def prefix_sums(
             vn, F.coalesce(F.col(vc).cast("long"), F.lit(0))
         )
     # consumed twice (local cumsum + partition totals): keep the range
-    # shuffle's result, release after the result materializes
+    # shuffle's result, release after the result materializes.  LAZY
+    # persist only — both consumers sit behind the SAME range-shuffle
+    # Exchange, whose map stage the scheduler dedupes at RDD level, so a
+    # concurrent first materialization can at worst re-run the cheap
+    # post-shuffle projection per partition, never the shuffle itself
+    # (unlike the scan-side multi-consumer caches in dedup/*, which have
+    # no shuffle boundary to share and DO need the eager count).
     ranged = ranged.persist()
-    ranged.count()
     upper = 0 if inclusive else -1
     w_local = (
         Window.partitionBy("__pid")
