@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["materialize_and_release", "track", "release_tracked"]
+__all__ = [
+    "materialize_and_release",
+    "lazy_result",
+    "track",
+    "release_tracked",
+]
 
 #: persisted intermediates whose lifetime outlives their operator call
 #: (e.g. the prefix-sum grid a lazy join-back still reads from) — drained
@@ -32,6 +37,22 @@ def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> Dat
     out.count()
     for df in intermediates:
         df.unpersist(blocking=False)
+    return out
+
+
+def lazy_result(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Persist ``result`` LAZILY and register it plus the
+    still-referenced ``intermediates`` for deferred release — the
+    caller's first action materializes everything, one fewer eager job
+    than :func:`materialize_and_release`.
+
+    Safe when the result is consumed by a single downstream action, or
+    when recomputing it from the (still-cached) intermediates is
+    result-sized work — the typical shape of the dedup operators' final
+    pair tables, whose expensive inputs are already eagerly cached."""
+    out = track(result.persist())
+    for df in intermediates:
+        track(df)
     return out
 
 

@@ -320,6 +320,6 @@ def numeric_drift_ks_exact(
         .agg(F.max("gap").alias("ks_statistic"))
     )
     # materialize the 1-row statistic, then drop the grid cache
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(out, pre)
+    return lazy_result(out, pre)

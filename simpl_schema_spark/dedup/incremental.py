@@ -135,7 +135,7 @@ def new_rows(
             ),
         ),
     )
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
     # consumed twice (definitely-new branch + maybe-seen branch): stage
     # the probed batch once so the scan+probe doesn't run twice
@@ -150,4 +150,4 @@ def new_rows(
         seen_keys, F.col(key_col) == F.col("__seen_key"), "left_anti"
     )
     result = definitely_new.unionAll(confirmed_new)
-    return materialize_and_release(result, probed)
+    return lazy_result(result, probed)

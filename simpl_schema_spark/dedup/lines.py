@@ -100,7 +100,7 @@ def remove_common_lines(
         F.col("__key") == F.col("__hot"),
         "left",
     )
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
     result = (
         flagged.groupBy(F.col("__id").alias(id_col))
@@ -125,4 +125,4 @@ def remove_common_lines(
             F.count(F.when(F.col("__hot").isNotNull(), 1)).alias("n_removed"),
         )
     )
-    return materialize_and_release(result, lines)
+    return lazy_result(result, lines)

@@ -513,6 +513,6 @@ def minhash_near_duplicates(
         .where(F.col("jaccard_est") >= threshold)
     )
     # materialize the (small) pair result, then drop the intermediate caches
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(out, sets, sigs)
+    return lazy_result(out, sets, sigs)

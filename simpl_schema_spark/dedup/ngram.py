@@ -169,6 +169,6 @@ def ngram_jaccard_pairs(
     )
     # materialize the (small) pair result, then drop the intermediate caches
     # so composed pipelines don't accumulate cached partitions
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(fast.unionByName(slow), sets, cand)
+    return lazy_result(fast.unionByName(slow), sets, cand)

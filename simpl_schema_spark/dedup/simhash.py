@@ -267,6 +267,6 @@ def hamming_near_duplicates(
     )
     out = pairs.where(F.col("hamming") <= max_hamming).distinct()
     # materialize the (small) pair result, then drop the intermediate caches
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(out, *_intermediates)
+    return lazy_result(out, *_intermediates)

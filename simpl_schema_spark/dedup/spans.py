@@ -216,7 +216,7 @@ def remove_duplicate_spans(
             ),
         )
     )
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
     result = joined.select(
         F.col("doc_id").alias(id_col),
@@ -229,4 +229,4 @@ def remove_duplicate_spans(
         ).cast("long").alias("n_dup_tokens"),
         F.size(sp).cast("long").alias("n_spans"),
     )
-    return materialize_and_release(result, staged)
+    return lazy_result(result, staged)

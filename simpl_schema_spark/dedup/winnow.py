@@ -204,6 +204,6 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(pairs, fps)
+    return lazy_result(pairs, fps)

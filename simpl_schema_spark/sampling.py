@@ -115,7 +115,7 @@ def mixture_rates(
     t = counts.select(
         F.min(F.col("n") / F.col("__p")).alias("__t")
     )
-    from .cache import materialize_and_release
+    from .cache import lazy_result
 
     rates = (
         counts.crossJoin(t)  # 1-row total: broadcast by AQE
@@ -129,7 +129,7 @@ def mixture_rates(
             ).alias("rate"),
         )
     )
-    return materialize_and_release(rates, counts)
+    return lazy_result(rates, counts)
 
 
 def mixture_sample(

@@ -324,6 +324,6 @@ def embedding_near_duplicates(
         .distinct()
     )
     # materialize the (small) pair result, then drop the signature cache
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(pairs, sigs)
+    return lazy_result(pairs, sigs)

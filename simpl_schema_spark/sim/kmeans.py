@@ -173,6 +173,6 @@ def kmeans_assign(
     out = assigned.select(
         "id", F.col("cid").alias("cluster"), F.round("d", 6).alias("dist")
     )
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(out, pts)
+    return lazy_result(out, pts)

@@ -119,9 +119,9 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(out, freqs)
+    return lazy_result(out, freqs)
 
 
 def tf_idf_top_terms(
@@ -205,6 +205,6 @@ def tf_idf_top_terms(
     )
     # tf feeds both aggregation branches of out's single action — release
     # its cache only after the (k-per-doc-sized) result is materialized
-    from ..cache import materialize_and_release
+    from ..cache import lazy_result
 
-    return materialize_and_release(out, tf)
+    return lazy_result(out, tf)
