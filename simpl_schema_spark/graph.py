@@ -84,27 +84,35 @@ def pagerank(
     # vertices from the persisted TRANS table (same src/dst set as e —
     # every e row survives the out_w join), so the single count below
     # materializes trans and vertices together and e is setup-only
+    # the dangling-vertex property is iteration-invariant — computed ONCE
+    # as a boolean FLAG on the vertex table (left join against the
+    # distinct source set, folded into the same setup count job) and
+    # carried on every rank row, so the per-iteration dangling aggregate
+    # is a pure filter+sum over the cached ranks: no join and no
+    # broadcast-build sub-job per power step.  (The previous shape
+    # semi-joined a persisted dangling-id set each iteration; per-
+    # partition partial sums see the identical row set in the identical
+    # layout, so the aggregate's float value is unchanged.)
     vertices = (
         trans.select(F.col("src").alias("id"))
         .unionByName(trans.select(F.col("dst").alias("id")))
         .distinct()
+        .join(
+            trans.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("__nd", F.lit(1)),
+            "id",
+            "left",
+        )
+        .select("id", F.col("__nd").isNull().alias("__dang"))
         .persist()
     )
     n = vertices.count()  # scalar: needed in the (1-d)/N literal
     e.unpersist(blocking=False)
 
-    # the dangling-vertex SET is iteration-invariant — compute it once
-    # from the persisted trans/vertices tables instead of re-deriving
-    # out_w from the raw edge input inside every iteration (each power
-    # step otherwise re-scans and re-aggregates the edge source, which
-    # contradicts the "edge table partitioned once" invariant above).
-    # Lazy persist: the first iteration's dangling aggregate populates
-    # it (single consumer per action — no cache-population race).
-    dangling_ids = vertices.join(
-        trans.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ranks = vertices.select(
+        "id", "__dang", F.lit(1.0 / n).alias("rank")
     ).persist()
-
-    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).persist()
 
     def dangling_mass(r: DataFrame) -> float:
         """Σ rank over the dangling vertices, pulled as ONE driver scalar
@@ -114,7 +122,7 @@ def pagerank(
         needed; the float is identical (same aggregate, exact driver
         round-trip)."""
         return (
-            r.join(dangling_ids, "id", "left_semi")
+            r.where(F.col("__dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             .first()["dm"]
         )
@@ -133,6 +141,7 @@ def pagerank(
             vertices.join(contribs, vertices["id"] == contribs["dst"], "left")
             .select(
                 "id",
+                "__dang",
                 (
                     base
                     + F.lit(damping)
@@ -171,11 +180,10 @@ def pagerank(
     if final_eager:
         trans.unpersist(blocking=False)
         vertices.unpersist(blocking=False)
-        dangling_ids.unpersist(blocking=False)
     else:
         from .cache import track
 
         track(trans)
         track(vertices)
-        track(dangling_ids)
-    return ranks
+    # the iteration-internal dangling flag stays private to this function
+    return ranks.select("id", "rank")
