@@ -6,9 +6,10 @@ Exact Jaccard over word n-gram shingle sets, scalable shape:
    every shuffle; Jaccard over hashes equals Jaccard over strings up to
    64-bit collisions — negligible at per-document set sizes)
 2. document frequency per shingle; shingles with df > ``max_shingle_df``
-   (boilerplate) are DROPPED from the index before any collect_list, so no
-   reducer ever buffers an unbounded id list
-3. group by shingle → id lists (≤ cap by construction) → within-bucket pairs
+   (boilerplate) are DROPPED from the index before pair generation, so
+   every surviving shingle key is ≤ cap
+3. per-shingle SELF-JOIN of the live index (per-key output ≤ C(cap, 2),
+   both sides share one exchange, nothing is ever buffered into an array)
    → per-pair CO-OCCURRENCE COUNT ``c`` (groupBy, not distinct — same shuffle)
 4. count-only exact Jaccard: ``c`` equals |A∩B| whenever neither doc lost a
    shingle to the hot-cap (a dropped common shingle is dropped for BOTH), so
@@ -79,34 +80,41 @@ def ngram_jaccard_pairs(
         # re-evaluating the fused shingle pipeline for the predicate; empty
         # sets simply produce no inverted-index rows downstream
     )
-    # multi-consumer: persist AND materialize eagerly — independent stages of
-    # one action otherwise populate the cache concurrently, each recomputing
-    # the shingle pipeline for partitions the others haven't cached yet
+    # multi-consumer: persist LAZILY — the candidate pipeline's stages run
+    # one at a time (AQE materializes query stages in dependency order)
+    # and the block manager's per-block get-or-compute locking serializes
+    # any stragglers, so the first stage populates the cache and the rest
+    # reuse it; the old eager count() was one whole extra job per call
     sets = sets.persist()
-    sets.count()
 
     # each inverted row carries its doc's SET SIZE so pairs get
-    # (n_a, n_b) straight from the bucket enumeration — no join against
-    # the (candidate-count-sized) pair table later
+    # (n_a, n_b) straight from the bucket join — no join against the
+    # (candidate-count-sized) pair table later
     inverted = sets.select(
         "id", F.size("sh").alias("n"), F.explode("sh").alias("g")
     )
     g_counts = inverted.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     hot = g_counts.where(F.col("df") > max_shingle_df).select("g")
-    # drop hot shingles BEFORE collect_list: every surviving bucket ≤ cap
+    # drop hot shingles BEFORE pair enumeration: every surviving shingle
+    # key has df ≤ cap, so the self-join below is per-key bounded
     live = inverted.join(hot, "g", "left_anti")
-    buckets = (
-        live.groupBy("g")
-        .agg(F.collect_list(F.struct("id", "n")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    # co-occurrence count per pair — groupBy instead of distinct, same
-    # shuffle; pair enumeration is the Arrow-batched numpy form (the
-    # interpreted lambda chain was ~2 s of the query at sf0.1).  n_a/n_b
-    # are functionally dependent on the ids — extra group keys, same
-    # groups.
+    # co-occurrence count per pair via a per-shingle SELF-JOIN of the
+    # live index: per-key output is ≤ C(cap, 2) by the hot filter, the
+    # two sides share one exchange (identical subtree → ReusedExchange),
+    # and — unlike the former collect_list + Arrow enumeration — no
+    # reducer ever materializes a bucket array and no Python stage runs
+    # (guide §2.3/§4: keep bounded pair generation inside codegen).
+    # groupBy instead of distinct — same shuffle; n_a/n_b are
+    # functionally dependent on the ids: extra group keys, same groups.
     pair_c = (
-        _bucket_pairs(buckets, meta_field="n")
+        live.select("g", F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+        .join(
+            live.select(
+                "g", F.col("id").alias("id_b"), F.col("n").alias("n_b")
+            ),
+            "g",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
