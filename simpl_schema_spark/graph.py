@@ -19,8 +19,11 @@ under-ranks everything reachable only from sinks.
 Scale shape per iteration: the edge table is joined to the rank table on
 the SOURCE key and re-aggregated on the DESTINATION key — two shuffles,
 both on vertex ids.  The edge table is hash-partitioned by source ONCE
-and persisted, so iterations shuffle only the (id, rank) table (vertex-
-count-sized, tiny next to edges).  The dangling term is a 1-row lazy
+and local-checkpointed (storing the rows AND truncating the logical
+plan — per-iteration actions would otherwise re-optimize the full
+upstream extraction plan on the driver every power step), so iterations
+shuffle only the (id, rank) table (vertex-count-sized, tiny next to
+edges).  The dangling term is a 1-row lazy
 aggregate cross-joined back (broadcast; no per-iteration driver action).
 Previous-iteration caches are released each step and the lineage is cut
 with ``localCheckpoint`` every ``checkpoint_every`` iterations — the two
@@ -74,11 +77,23 @@ def pagerank(
     # (q_crawl_frontier re-parsed every page's HTML per reference).
     e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # trans and vertices are LOCAL-CHECKPOINTED (lazily — the setup count
+    # below materializes both in one job), not merely persisted: a persist
+    # caches the physical result but every per-iteration action still
+    # re-analyzes and re-optimizes the full upstream LOGICAL plan (in
+    # composed pipelines that plan is the whole extraction pipeline, e.g.
+    # q_crawl_frontier's HTML outlink parse), which measured as 0.2-0.4 s
+    # of driver time per power step at bench scale.  Checkpointed, the
+    # iteration plans reference two constant-size leaf tables, so driver
+    # planning cost no longer grows with what produced the edges.  Block
+    # lifetime: checkpoint blocks are freed by the ContextCleaner when the
+    # result's plan is garbage-collected (same lifetime the tracked
+    # persists had).
     trans = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
         .repartition("src")
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     # vertices from the persisted TRANS table (same src/dst set as e —
@@ -105,7 +120,7 @@ def pagerank(
             "left",
         )
         .select("id", F.col("__nd").isNull().alias("__dang"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n = vertices.count()  # scalar: needed in the (1-d)/N literal
     e.unpersist(blocking=False)
@@ -130,7 +145,6 @@ def pagerank(
     # this first aggregate also materializes ranks and dangling_ids
     dm = dangling_mass(ranks)
     base = F.lit((1.0 - damping) / n)
-    final_eager = True
     for it in range(iterations):
         contribs = (
             trans.join(ranks, trans["src"] == ranks["id"])
@@ -174,16 +188,10 @@ def pagerank(
 
             new_ranks = new_ranks.persist()
             track(ranks)
-            final_eager = False
         ranks = new_ranks
 
-    if final_eager:
-        trans.unpersist(blocking=False)
-        vertices.unpersist(blocking=False)
-    else:
-        from .cache import track
-
-        track(trans)
-        track(vertices)
+    # trans/vertices are checkpoint leaves now — their blocks are released
+    # by the ContextCleaner once the returned plan drops its references
+    # (unpersist() is a no-op on a checkpointed frame)
     # the iteration-internal dangling flag stays private to this function
     return ranks.select("id", "rank")
