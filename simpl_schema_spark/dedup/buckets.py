@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bounded_buckets", "bucket_pairs"]
+__all__ = ["bounded_buckets", "bounded_pair_join", "bucket_pairs"]
 
 
 def bounded_buckets(
@@ -50,6 +50,52 @@ def bounded_buckets(
     bounded = exploded.join(keep, key_cols, "inner")
     return bounded.groupBy(*key_cols).agg(
         F.collect_list(member).alias(members_alias)
+    )
+
+
+def bounded_pair_join(
+    exploded: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    *,
+    max_bucket_size: int,
+    min_bucket_size: int = 2,
+    meta_col: str = "",
+) -> DataFrame:
+    """``(id_a, id_b[, <meta>_a, <meta>_b])`` — every within-bucket pair,
+    ``id_a < id_b``, generated as a size-bounded per-key SELF-JOIN.
+
+    Same two-pass discipline as :func:`bounded_buckets` (count first, so
+    no aggregation buffer ever sees an over-cap bucket), but the pair
+    expansion happens inside the join instead of pivoting through a
+    ``collect_list`` array plus an Arrow enumeration pass: per-key join
+    output is ≤ C(cap, 2) by the size filter, rows STREAM through
+    whole-stage codegen with no per-bucket array and no Python stage,
+    and the two join sides are the identical subtree, so they share one
+    exchange (ReusedExchange).  Requires ``id_col`` values to be
+    distinct within a bucket (all callers explode one row per (bucket,
+    doc)).
+    """
+    sizes = exploded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    keep = sizes.where(
+        (F.col("__n") >= min_bucket_size) & (F.col("__n") <= max_bucket_size)
+    ).select(*key_cols)
+    live = exploded.join(keep, key_cols, "inner")
+
+    def side(suffix: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"id_{suffix}")]
+        if meta_col:
+            cols.append(F.col(meta_col).alias(f"{meta_col}_{suffix}"))
+        return live.select(*key_cols, *cols)
+
+    out_cols = ["id_a", "id_b"] + (
+        [f"{meta_col}_a", f"{meta_col}_b"] if meta_col else []
+    )
+    return (
+        side("a")
+        .join(side("b"), key_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(*out_cols)
     )
 
 

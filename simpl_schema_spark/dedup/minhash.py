@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from ..text.analysis import normalized_text, word_tokens
-from .buckets import bounded_buckets, bucket_pairs
+from .buckets import bounded_pair_join
 
 __all__ = [
     "shingles",
@@ -412,16 +412,14 @@ def lsh_candidate_pairs(
         .select(F.col(id_col).alias("id"), F.explode(band_structs).alias("band"))
         .select("id", "band.band_idx", "band.band_hash")
     )
-    # hot band-hashes filtered out BEFORE collect_list (bounded reducer state)
-    buckets = bounded_buckets(
-        exploded, ["band_idx", "band_hash"], F.col("id"),
-        max_bucket_size=max_bucket_size, members_alias="ids",
-    )
-    # pairs within bucket (bounded by max_bucket_size² per bucket) — the
-    # shared Arrow-batched numpy enumeration (buckets.bucket_pairs); the
-    # interpreted explode(flatten(transform(filter(transform)))) chain it
-    # replaces evaluated two lambdas per member² per bucket (guide §4.2)
-    return bucket_pairs(buckets, "ids").distinct()
+    # hot band-hashes filtered out BEFORE pair expansion (size-bounded
+    # per-key self-join, buckets.bounded_pair_join: ≤ C(cap, 2) rows per
+    # bucket stream through codegen — no collect_list buffer, no Python
+    # enumeration stage)
+    return bounded_pair_join(
+        exploded, ["band_idx", "band_hash"], "id",
+        max_bucket_size=max_bucket_size,
+    ).distinct()
 
 
 def minhash_near_duplicates(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..text.analysis import normalized_text, word_tokens
-from .buckets import bounded_buckets, bucket_pairs
+from .buckets import bounded_pair_join
 
 __all__ = [
     "simhash",
@@ -250,17 +250,14 @@ def hamming_near_duplicates(
     exploded = sigs.select("id", "sh", F.explode(chunks).alias("c")).select(
         "id", "sh", "c.chunk_idx", "c.chunk_val"
     )
-    # hot chunks filtered out BEFORE collect_list (bounded reducer state)
-    buckets = bounded_buckets(
-        exploded, ["chunk_idx", "chunk_val"], F.struct("id", "sh"),
-        max_bucket_size=max_bucket_size,
-    )
-    # within-bucket pairs via the shared Arrow-batched enumeration
-    # (buckets.bucket_pairs, meta_field carries each side's fingerprint);
-    # the Hamming popcount stays a JVM intrinsic on the pair rows — the
-    # interpreted explode(flatten(transform(filter(transform)))) chain it
-    # replaces evaluated two lambdas per member² per bucket (guide §4.2)
-    pairs = bucket_pairs(buckets, "members", meta_field="sh").select(
+    # hot chunks filtered out BEFORE pair expansion — the size-bounded
+    # per-key self-join (buckets.bounded_pair_join) carries each side's
+    # fingerprint along, so no collect_list buffer and no Python stage;
+    # the Hamming popcount stays a JVM intrinsic on the pair rows
+    pairs = bounded_pair_join(
+        exploded, ["chunk_idx", "chunk_val"], "id",
+        max_bucket_size=max_bucket_size, meta_col="sh",
+    ).select(
         "id_a",
         "id_b",
         hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),

@@ -166,9 +166,9 @@ def fingerprint_overlap_pairs(
     least ``min_common`` fingerprints.
 
     Bounded inverted index: fingerprints appearing in more than
-    ``max_fp_df`` documents are boilerplate and dropped BEFORE the
-    posting-list ``collect_list``, so every bucket is <= max_fp_df by
-    construction and the pair explosion per bucket is bounded — the
+    ``max_fp_df`` documents are boilerplate and dropped BEFORE pair
+    generation, so every posting list is <= max_fp_df by construction
+    and the self-join's per-key pair output is bounded — the
     100-TB-safe shape shared with :func:`~.ngram.ngram_jaccard_pairs`.
     By the winnowing guarantee a dropped-for-both hot fingerprint never
     hides a LONG unique match (those contribute other, rarer
@@ -187,19 +187,15 @@ def fingerprint_overlap_pairs(
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     hot = counts.where(F.col("df") > max_fp_df).select("fp")
     live = fps.join(hot, "fp", "left_anti")
-    buckets = (
-        live.groupBy("fp")
-        .agg(F.collect_list("id").alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    # pair enumeration via the shared Arrow-batched numpy form (posting
-    # lists hold DISTINCT ids, so positional pairs ≡ value-ordered pairs
-    # — see ngram._bucket_pairs; the interpreted lambda chain it replaces
-    # dominated the candidate stage)
-    from .ngram import _bucket_pairs
-
+    # pair enumeration via a per-fingerprint SELF-JOIN of the live index
+    # (posting lists hold DISTINCT ids): per-key output is ≤ C(cap, 2)
+    # by the hot filter, rows stream through codegen with no
+    # collect_list buffer and no Python stage, and the two sides share
+    # one exchange (same shape as ngram/minhash/simhash)
     pairs = (
-        _bucket_pairs(buckets)
+        live.select("fp", F.col("id").alias("id_a"))
+        .join(live.select("fp", F.col("id").alias("id_b")), "fp")
+        .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
