@@ -481,13 +481,12 @@ def minhash_near_duplicates(
         "id", F.transform(F.col("sh"), hash_one).alias("hs")
     )
     sigs = _minhash_sigs_arrow(hashed, num_perm, 7, hash_family)
-    # signatures are consumed four times (bucket count + collect + both
-    # verify sides): persist AND materialize eagerly — independent stages of
-    # one action otherwise race to populate the cache, duplicating the
-    # signature pipeline (same pattern as persisting an MLlib feature DF
-    # before a self-join)
+    # signatures are consumed four times (bucket sizes + pair join sides
+    # + both verify sides), but those consumers are SEQUENTIAL stages of
+    # the caller's action (sizes → keep → live join → pairs → verify), so
+    # a lazy persist is populated by the first stage and reused by the
+    # rest — the old eager count() was one whole extra job per call
     sigs = sigs.persist()
-    sigs.count()
 
     pairs = lsh_candidate_pairs(
         sigs, "id", "sig",

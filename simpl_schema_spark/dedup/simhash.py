@@ -187,11 +187,11 @@ def simhash_near_duplicates(
     )
     sigs = (
         _simhash_arrow(token_hashes)
-        # consumed twice by the bounded bucket builder (count + collect):
-        # persist so the fingerprint pipeline runs once
+        # consumed by sequential stages of one action (bucket sizes →
+        # pair join sides): a lazy persist is populated by the first
+        # stage — no eager count job needed (see ngram.py)
         .persist()
     )
-    sigs.count()  # materialize before the multi-consumer DAG (see ngram.py)
     return hamming_near_duplicates(
         sigs,
         "id",
@@ -230,11 +230,10 @@ def hamming_near_duplicates(
                 F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
             )
             .where(F.col("sh").isNotNull())
-            # consumed twice by the bounded bucket builder (count +
-            # collect): stage so the fingerprint pipeline runs once
+            # consumed by sequential stages of one action: lazy persist,
+            # populated by the first consuming stage
             .persist()
         )
-        sigs.count()
         _intermediates = (*_intermediates, sigs)
     chunks = F.array(
         *[

@@ -170,9 +170,11 @@ def remove_duplicate_spans(
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     staged = _staged_tokens(df, id_col, text_col)
     # both the anchor build and the reassembly read the token arrays:
-    # stage them once (recompute is a second full tokenize otherwise)
+    # stage them once (recompute is a second full tokenize otherwise).
+    # LAZY persist: the anchor chain's first stage populates the cache
+    # and the reassembly join reuses it (block-level get-or-compute
+    # locking serializes a concurrent cold read) — no eager count job
     staged = staged.persist()
-    staged.count()
     spans = _spans_from_staged(staged, k, min_count)
     # Reassembly by GAP SLICING: collapse each document's (disjoint,
     # sorted) spans to one array row, left-join it onto the staged

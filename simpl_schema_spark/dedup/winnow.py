@@ -180,9 +180,10 @@ def fingerprint_overlap_pairs(
     )
     # single upstream scan feeds two consumers (df-counts and the index);
     # fingerprint rows are two ints — cheap to persist, expensive to
-    # recompute (the whole winnow projection)
+    # recompute (the whole winnow projection).  LAZY persist: the
+    # df-count pass is the first stage of the caller's action and
+    # populates the cache for the join sides — no eager count job
     fps = fps.persist()
-    fps.count()
 
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     hot = counts.where(F.col("df") > max_fp_df).select("fp")
