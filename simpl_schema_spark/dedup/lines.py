@@ -82,10 +82,10 @@ def remove_common_lines(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
     ).withColumn("__key", F.trim(F.col("__raw")))
-    # consumed twice (hot profile + reassembly join): materialize the
-    # exploded lines once instead of re-running scan+split+explode
+    # consumed twice (hot profile + reassembly join): stage the exploded
+    # lines once instead of re-running scan+split+explode.  LAZY persist
+    # — the hot-profile stage populates the cache, the join reuses it
     lines = lines.persist()
-    lines.count()
     hot = (
         lines.where(F.col("__key") != "")
         .groupBy("__key")

@@ -1775,9 +1775,10 @@ def _apply_modifier_auto_values(
             F.explode(udf(F.col("entries"), F.col("upsert"))).alias("a"),
         )
         .select(id_col, "upsert", "a.*")
+        # lazy persist: drops and new_rows are subtrees of the caller's
+        # single action — the first stage populates the cache
         .persist()
     )
-    acts.count()
     drops = acts.where(F.col("drop")).select(id_col, F.col("key").alias("key_path"))
     kept = out.join(drops, [id_col, "key_path"], "left_anti")
     new_rows = acts.where(F.col("op").isNotNull()).select(

@@ -109,9 +109,9 @@ def mixture_rates(
         .where(F.col("__p").isNotNull())
     )
     # consumed twice (feasibility min + rate projection): without
-    # staging, BOTH branches re-scan the corpus for the group counts
+    # staging, BOTH branches re-scan the corpus for the group counts.
+    # LAZY persist — the feasibility-min stage populates the cache first
     counts = counts.persist()
-    counts.count()
     t = counts.select(
         F.min(F.col("n") / F.col("__p")).alias("__t")
     )

@@ -274,10 +274,10 @@ def embedding_near_duplicates(
         # Arrow matmul signature (same seeded planes as the expression
         # form; ~3x faster — see hyperplane_signature_udf docstring)
         sig_udf(F.col(vec_col)).alias("sig"),
-        # consumed twice by the bounded bucket builder (count + collect):
-        # persist so the signature matmul runs once per vector
+        # consumed by sequential stages (bucket sizes → pair join sides):
+        # lazy persist so the signature matmul runs once per vector, with
+        # the first consuming stage populating the cache (see ngram.py)
     ).persist()
-    sigs.count()  # materialize before the multi-consumer DAG (see ngram.py)
     chunks = F.array(
         *[
             F.struct(

@@ -170,10 +170,9 @@ def tf_idf_top_terms(
     tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # tf IS the distinct (doc, token) set — document frequencies
     # aggregate the (much smaller) tf table instead of re-exploding the
-    # corpus through a distinct().  tf is persisted because the score
-    # join and this aggregate both read it.
+    # corpus through a distinct().  tf is persisted (lazily — the dfreq
+    # stage populates it, the score join reuses it) because both read it.
     tf = tf.persist()
-    tf.count()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
