@@ -106,6 +106,17 @@ def ngram_jaccard_pairs(
     # (guide §2.3/§4: keep bounded pair generation inside codegen).
     # groupBy instead of distinct — same shuffle; n_a/n_b are
     # functionally dependent on the ids: extra group keys, same groups.
+    # SIZE-RATIO prune before the pair shuffle: |A∩B| ≤ min(n_a, n_b) and
+    # |A∪B| ≥ max(n_a, n_b), so J ≤ least/greatest — a pair failing
+    # ``least/(n_a+n_b-least) >= threshold`` can never reach the
+    # threshold, on the count-exact path (j_count is increasing in c and
+    # IEEE division is monotone, so j_count ≤ this bound in floats too)
+    # or the slow verify path (true intersection ≤ least, union ≥
+    # greatest, and correctly-rounded division preserves the real-number
+    # ordering).  At high thresholds this drops almost every enumerated
+    # candidate (sizes must match within (1-t)/t) before any shuffle.
+    n_least = F.least("n_a", "n_b")
+    j_bound = n_least / (F.col("n_a") + F.col("n_b") - n_least)
     pair_c = (
         live.select("g", F.col("id").alias("id_a"), F.col("n").alias("n_a"))
         .join(
@@ -114,7 +125,7 @@ def ngram_jaccard_pairs(
             ),
             "g",
         )
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & (j_bound >= threshold))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
