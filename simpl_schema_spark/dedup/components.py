@@ -44,6 +44,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_every: int = 5,
     small_graph_threshold: int = 1_000_000,
+    driver_byte_budget: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """``(id, component)`` — component = smallest vertex id reachable.
 
@@ -59,16 +60,45 @@ def connected_components(
     million-edge union-find is milliseconds on the driver; beyond the
     threshold the distributed hash-min loop takes over (set the threshold
     to 0 to force it).
+
+    ``driver_byte_budget`` guards driver MEMORY, not just row count: the
+    row threshold alone would let a row-count-qualifying graph of fat
+    string ids (URLs as vertex keys) blow the driver heap.  Fixed-width
+    ids (the common long/int case) are budgeted arithmetically with no
+    extra job; variable-width ids pay one tiny aggregate (count + average
+    key width) before the collect, and an estimate over budget falls
+    through to the distributed path.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct()
-    # ONE bounded probe job instead of count-then-collect: limit(cap+1)
-    # fetches the complete edge set when the graph is at or under the
-    # driver threshold (the common near-dup case) and stops scanning
-    # early when it is over — the full collect of a huge graph the
-    # separate count() guarded against still cannot happen.
     cap = 2 * small_graph_threshold
+    #: collected-row overhead: Row object + two boxed values (CPython)
+    _ROW_OVERHEAD = 120
+    id_type = sym.schema["u"].dataType.simpleString()
+    fixed_width = {
+        "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+        "float": 4, "double": 8, "date": 4, "timestamp": 8,
+    }.get(id_type)
+    if fixed_width is not None:
+        # fixed-width keys: the budget caps the row allowance
+        # arithmetically, no extra job
+        row_bytes = 2 * fixed_width + _ROW_OVERHEAD
+    else:
+        # variable-width ids (strings): one tiny bounded aggregate
+        # estimates the per-row footprint BEFORE anything row-shaped is
+        # pulled to the driver
+        est = sym.limit(cap + 1).agg(
+            F.avg(F.length(F.col("u")) + F.length(F.col("v"))).alias("w")
+        ).first()
+        # python strings carry ~49 bytes of object overhead each
+        row_bytes = float(est["w"] or 0) + 2 * 49 + _ROW_OVERHEAD
+    cap = min(cap, int(driver_byte_budget // row_bytes))
+    # ONE bounded probe job instead of count-then-collect: limit(cap+1)
+    # fetches the complete edge set when the graph fits BOTH the row
+    # threshold and the byte budget (the common near-dup case) and stops
+    # scanning early when it does not — neither a huge graph nor a
+    # fat-keyed one can blow the driver heap.
     rows = sym.limit(cap + 1).collect()
 
     if len(rows) <= cap:
@@ -166,6 +196,7 @@ def dedup_groups_from_pairs(
     *,
     max_iter: int = 20,
     small_graph_threshold: int = 1_000_000,
+    driver_byte_budget: int = 256 * 1024 * 1024,
     max_group_ids: Optional[int] = None,
 ) -> DataFrame:
     """``(component, n_members, member_ids)`` per near-dup cluster —
@@ -183,6 +214,7 @@ def dedup_groups_from_pairs(
         pairs, src, dst,
         max_iter=max_iter,
         small_graph_threshold=small_graph_threshold,
+        driver_byte_budget=driver_byte_budget,
     )
     if max_group_ids is None:
         return (

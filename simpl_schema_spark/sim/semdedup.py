@@ -56,15 +56,28 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
-    k: int = 8,
+    k: "int | None" = None,
     iterations: int = 2,
     threshold: float = 0.95,
+    target_cluster_size: int = 1000,
+    k_min: int = 8,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs
     ``(id_a, id_b, cluster, cos)`` with ``cos >= threshold`` and
-    ``id_a < id_b``."""
+    ``id_a < id_b``.
+
+    ``k=None`` (the default) DERIVES the cluster count from the corpus:
+    ``k = max(k_min, ceil(n / target_cluster_size))`` via one cheap
+    count.  The Σ|cluster|² bound that makes SemDeDup tractable only
+    holds when k scales with N — a fixed k at 10^9 vectors degenerates
+    to (N/k)²-sized self-join blocks, so a constant default is a scale
+    trap; pass an explicit ``k`` to pin it (the contract query does)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
     from ..cache import track
 
     # the scan-side assignment (kmeans._fit_assign inlines the k
@@ -77,6 +90,11 @@ def semantic_dedup_pairs(
     # review) — pipelines drop it via cache.release_tracked() after
     # their action.
     pts = track(_points(df, id_col, vec_col).persist())
+    if k is None:
+        # one count over the (persisted) points table — also materializes
+        # the cache the fit and pair passes reuse
+        n = pts.count()
+        k = max(k_min, -(-n // target_cluster_size))
     av = _fit_assign(pts, k=k, iterations=iterations).select(
         "id", "cid", "v"
     )

@@ -547,6 +547,35 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(edges, max_iter=2, small_graph_threshold=0)
 
+    def test_byte_budget_forces_distributed_path(self, spark):
+        """A graph under the ROW threshold but over the BYTE budget must
+        fall through to the distributed hash-min loop (same labels), for
+        fixed-width and string vertex keys alike."""
+        from simpl_schema_spark.dedup import connected_components
+
+        long_edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                long_edges, driver_byte_budget=1  # < one row's footprint
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+        str_edges = spark.createDataFrame(
+            [("a.com", "b.com"), ("b.com", "c.com")],
+            "id_a string, id_b string",
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                str_edges, driver_byte_budget=1
+            ).collect()
+        }
+        assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com"}
+
 
 class TestIVFIndexIO:
     def test_write_read_prune_and_equivalence(self, spark, tmp_path):

@@ -146,3 +146,48 @@ class TestSemanticDedup:
         )
         with pytest.raises(ValueError):
             semantic_dedup_pairs(df, threshold=0.0)
+
+    def test_derived_k_scales_with_corpus(self, spark):
+        """k=None derives k = max(k_min, ceil(n / target_cluster_size)):
+        cluster ids stay below the derived k, and the derived k caps the
+        expected per-cluster block size (the Σ|cluster|² discipline)."""
+        from simpl_schema_spark.sim import semantic_dedup_pairs
+
+        rows = [
+            (i, [float(i), float(i % 5), 1.0]) for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        # n=40, target 10 -> derived k = 4... but k_min=2 keeps it at 4;
+        # with k_min=6 the floor wins
+        pairs = semantic_dedup_pairs(
+            df, threshold=0.5, target_cluster_size=10, k_min=2,
+            iterations=1,
+        )
+        assert pairs.agg(F.max("cluster")).first()[0] < 4
+        pairs_floor = semantic_dedup_pairs(
+            df, threshold=0.5, target_cluster_size=100, k_min=6,
+            iterations=1,
+        )
+        # ceil(40/100)=1 < k_min=6 -> floor applies; ids stay below 6
+        assert pairs_floor.agg(F.max("cluster")).first()[0] < 6
+
+    def test_explicit_k_still_pins(self, spark):
+        """The contract query pins k=8 explicitly — passing k must bypass
+        derivation entirely (no count, same clustering as before)."""
+        from simpl_schema_spark.sim import semantic_dedup_pairs
+
+        rows = [(i, [float(i % 2), float(i % 3), 1.0]) for i in range(12)]
+        rows += [(100 + i, v) for i, v in rows[:3]]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        got = {
+            (r.id_a, r.id_b): r.cos
+            for r in semantic_dedup_pairs(
+                df, k=3, iterations=2, threshold=0.9999
+            ).collect()
+        }
+        for i in range(3):
+            assert got.get((i, 100 + i)) == pytest.approx(1.0)
