@@ -13,6 +13,10 @@ from simpl_schema_spark.streaming import (
     validate_stream,
 )
 
+#: streaming watermark waits / frame decode dominate the suite's tail;
+#: the fast loop (pytest -m 'not slow') skips them
+pytestmark = pytest.mark.slow
+
 
 class TestPartitionedRuns:
     def test_run_then_resume(self, spark, tmp_path):

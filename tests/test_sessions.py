@@ -1,6 +1,7 @@
 """Gap-based sessionization (sessions.py): boundary semantics, ties,
 per-user isolation, and the one-shuffle plan shape."""
 
+import pytest
 from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
@@ -96,7 +97,9 @@ class TestSessionStats:
                 assert "[user_id" in line, line
 
 
+@pytest.mark.slow
 class TestStreamingSessions:
+    #: 3-minute stateful-streaming wait; skipped by the -m 'not slow' fast loop
     def test_gap_closed_sessions_emitted(self, spark, tmp_path):
         from simpl_schema_spark.streaming import streaming_sessions
 

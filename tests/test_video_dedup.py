@@ -6,6 +6,10 @@ import pytest
 from simpl_schema_spark.multimodal import video_near_duplicates
 from tests.test_pipeline_ops import _make_y4m
 
+#: streaming watermark waits / frame decode dominate the suite's tail;
+#: the fast loop (pytest -m 'not slow') skips them
+pytestmark = pytest.mark.slow
+
 
 class TestVideoNearDuplicates:
     def test_shared_frames_pair_found(self, spark):
