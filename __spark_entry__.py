@@ -29,18 +29,27 @@ _TEXT_MIN = 100                                      # short docs → minString
 _NCHARS_MAX = 400                                    # long docs → maxNumber
 
 
+_SCHEMA_SINGLETONS: dict = {}
+
+
 def _doc_schema():
+    """The documents schema, built ONCE per process: schemas are immutable
+    config here, and a stable instance lets the engine's per-schema
+    compiled-Column memos (modifiers._modifier_rule_forest) hit across
+    repeated query invocations instead of re-paying plan construction."""
     from simpl_schema_spark.schema import SimpleSchema
 
-    return SimpleSchema(
-        {
-            "doc_id": {"type": int, "min": 0},
-            "text": {"type": str, "min": _TEXT_MIN},
-            "lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
-            "source": {"type": str, "regEx": re.compile(_SOURCE_RE)},
-            "n_chars": {"type": int, "min": 0, "max": _NCHARS_MAX},
-        }
-    )
+    if "docs" not in _SCHEMA_SINGLETONS:
+        _SCHEMA_SINGLETONS["docs"] = SimpleSchema(
+            {
+                "doc_id": {"type": int, "min": 0},
+                "text": {"type": str, "min": _TEXT_MIN},
+                "lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
+                "source": {"type": str, "regEx": re.compile(_SOURCE_RE)},
+                "n_chars": {"type": int, "min": 0, "max": _NCHARS_MAX},
+            }
+        )
+    return _SCHEMA_SINGLETONS["docs"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,13 +406,15 @@ def q_validate_object_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simpl_schema_spark.modifiers import validate_modifier_table
     from simpl_schema_spark.schema import SimpleSchema
 
-    ss = SimpleSchema(
-        {
-            "meta": {"type": dict},
-            "meta.lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
-            "meta.n": {"type": int, "min": 0, "max": _NCHARS_MAX},
-        }
-    )
+    if "object_set" not in _SCHEMA_SINGLETONS:
+        _SCHEMA_SINGLETONS["object_set"] = SimpleSchema(
+            {
+                "meta": {"type": dict},
+                "meta.lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
+                "meta.n": {"type": int, "min": 0, "max": _NCHARS_MAX},
+            }
+        )
+    ss = _SCHEMA_SINGLETONS["object_set"]
     d = _docs(spark, sf_dir)
     # deterministic variety: doc_id%7==0 adds an undeclared child;
     # doc_id%11==0 omits the required 'lang' child

@@ -540,16 +540,27 @@ def _expand_object_set_rows(
     return all_rows
 
 
-def validate_modifier_table(
-    mods: DataFrame,
-    schema: SimpleSchema,
-    *,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Violations table ``(id, name, type, value…)`` for a long-format
-    modifier table ``(id, op, key_path, value, upsert)``."""
-    comp = _ModifierCompiler(schema)
-    mods = _expand_object_set_rows(mods, comp, schema, id_col)
+def _modifier_rule_forest(
+    schema: SimpleSchema, comp: "_ModifierCompiler"
+) -> dict:
+    """Compiled per-row rule forest for a modifier table — PURE unbound
+    Columns over the fixed column names (op, key_path, value, __entries),
+    independent of any input DataFrame.  Memoized on the schema instance:
+    building the forest issues thousands of py4j round trips (~0.9 s at
+    bench scale, cProfile: 4.8k socket round trips), which repeated
+    validate calls over the same schema should not re-pay.  Columns are
+    immutable Catalyst trees, safe to share across queries (the same
+    argument as the compile-time fragment cache in compiler/compile.py).
+    Invalidation: ``SimpleSchema._rebuild_caches`` drops the memo on any
+    definition change, and the key carries the identity of every active
+    custom/global validator so a registry change rebuilds."""
+    memo_key = (
+        "modifier_forest",
+        tuple(id(fn) for fn in schema.all_validators()),
+    )
+    memo = schema.__dict__.setdefault("_compiled_memo", {})
+    if memo_key in memo:
+        return memo[memo_key]
     op = F.col("op")
     key_path = F.col("key_path")
     v = F.col("value")
@@ -623,15 +634,6 @@ def validate_modifier_table(
         if not getattr(fn, "_is_spark_rule", False)
     )
     has_any_custom = any(_customs_for(key) for key in comp.merged)
-    if any_ctx:
-        # one co-partitioned shuffle attaching the (schema-bounded) entry
-        # list per document; only paid when a cross-field validator exists
-        ents_df = mods.groupBy(id_col).agg(
-            F.collect_list(
-                F.struct(F.col("op"), F.col("key_path").alias("key"), F.col("value"))
-            ).alias("__entries")
-        )
-        mods = mods.join(ents_df, id_col)
     entries_col = F.col("__entries") if any_ctx else None
 
     def _typed_token(key: str, token: Column) -> Column:
@@ -844,6 +846,39 @@ def validate_modifier_table(
         key_not_in_schema,
         checked,
     )
+    memo[memo_key] = {
+        "per_row": per_row,
+        "each_err": each_err,
+        "non_optional": non_optional,
+        "any_ctx": any_ctx,
+    }
+    return memo[memo_key]
+
+
+def validate_modifier_table(
+    mods: DataFrame,
+    schema: SimpleSchema,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Violations table ``(id, name, type, value…)`` for a long-format
+    modifier table ``(id, op, key_path, value, upsert)``."""
+    comp = _ModifierCompiler(schema)
+    rules = _modifier_rule_forest(schema, comp)
+    mods = _expand_object_set_rows(mods, comp, schema, id_col)
+    if rules["any_ctx"]:
+        # one co-partitioned shuffle attaching the (schema-bounded) entry
+        # list per document; only paid when a cross-field validator exists
+        ents_df = mods.groupBy(id_col).agg(
+            F.collect_list(
+                F.struct(F.col("op"), F.col("key_path").alias("key"), F.col("value"))
+            ).alias("__entries")
+        )
+        mods = mods.join(ents_df, id_col)
+    op = F.col("op")
+    per_row = rules["per_row"]
+    each_err = rules["each_err"]
+    non_optional = rules["non_optional"]
 
     empty_arr = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
     base = mods.select(
