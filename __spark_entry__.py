@@ -268,13 +268,15 @@ def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
         F.when(F.col("doc_id") % 13 == 0, F.lit("")).otherwise(F.col("lang")).alias("lang"),
     )
-    ss = SimpleSchema(
-        {
-            "doc_id": {"type": int, "optional": True},
-            "text": {"type": str, "optional": True},
-            "lang": {"type": str, "optional": True},
-        }
-    )
+    if "clean_docs" not in _SCHEMA_SINGLETONS:
+        _SCHEMA_SINGLETONS["clean_docs"] = SimpleSchema(
+            {
+                "doc_id": {"type": int, "optional": True},
+                "text": {"type": str, "optional": True},
+                "lang": {"type": str, "optional": True},
+            }
+        )
+    ss = _SCHEMA_SINGLETONS["clean_docs"]
     return clean(d, ss).select("doc_id", "text", "lang")
 
 
@@ -445,14 +447,16 @@ def q_validate_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simpl_schema_spark.jsondoc import validate_json_column
     from simpl_schema_spark.schema import SimpleSchema
 
-    ss = SimpleSchema(
-        {
-            "lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
-            "n": {"type": int, "min": 0, "max": _NCHARS_MAX},
-            "tags": {"type": SimpleSchema.Array, "optional": True},
-            "tags.$": {"type": str, "max": 4},
-        }
-    )
+    if "json_docs" not in _SCHEMA_SINGLETONS:
+        _SCHEMA_SINGLETONS["json_docs"] = SimpleSchema(
+            {
+                "lang": {"type": str, "allowedValues": _ALLOWED_LANGS},
+                "n": {"type": int, "min": 0, "max": _NCHARS_MAX},
+                "tags": {"type": SimpleSchema.Array, "optional": True},
+                "tags.$": {"type": str, "max": 4},
+            }
+        )
+    ss = _SCHEMA_SINGLETONS["json_docs"]
     d = _docs(spark, sf_dir)
     # deterministic heterogeneity: %7 adds an unknown key, %11 omits required
     # lang, %13 makes n a wrong-typed string, %5 adds a tags array whose

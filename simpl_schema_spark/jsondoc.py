@@ -413,13 +413,25 @@ def validate_json_column(
     json_col: str = "json_blob",
     id_cols: Iterable[str] = ("doc_id",),
 ) -> DataFrame:
-    """Exploded violations table for a JSON string column."""
+    """Exploded violations table for a JSON string column.
+
+    The violation forest is pure unbound Columns over the named column —
+    memoized on the schema instance like the modifier/document forests
+    (building it is py4j-round-trip-bound; invalidated on definition
+    change via ``SimpleSchema._rebuild_caches``, keyed on the active
+    validator identities)."""
     id_cols = list(id_cols)
+    memo_key = (
+        "json_violations",
+        json_col,
+        tuple(id(fn) for fn in schema.all_validators()),
+    )
+    memo = schema.__dict__.setdefault("_compiled_memo", {})
+    if memo_key not in memo:
+        memo[memo_key] = json_violations_column(schema, F.col(json_col))
     return (
         df.select(
             *id_cols,
-            F.explode(
-                json_violations_column(schema, F.col(json_col))
-            ).alias("violation"),
+            F.explode(memo[memo_key]).alias("violation"),
         ).select(*id_cols, "violation.*")
     )

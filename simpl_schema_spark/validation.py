@@ -321,20 +321,40 @@ def with_violations(
     extra_key_policy: str = "violation",
 ) -> DataFrame:
     """Return ``df`` plus an ``array<violation>`` column — the single-pass
-    rule forest. No shuffle; fuses with the scan."""
-    compiler = RuleCompiler(
-        schema,
-        df.schema,
-        keys=keys,
-        ignore=ignore,
-        extra_key_policy=extra_key_policy,
+    rule forest. No shuffle; fuses with the scan.
+
+    The compiled forest is MEMOIZED on the schema instance: it is pure
+    unbound Columns over the input's field names, so it depends only on
+    (schema content, input StructType, keys/ignore/policy, the active
+    validator identities) — none of which involve the data.  Building it
+    issues thousands of py4j round trips per call otherwise (the same
+    finding as modifiers._modifier_rule_forest).  Invalidation:
+    ``SimpleSchema._rebuild_caches`` drops the memo on definition change;
+    registry changes alter the key."""
+    memo_key = (
+        "violations_forest",
+        df.schema.simpleString(),
+        tuple(keys) if keys is not None else None,
+        tuple(ignore) if ignore is not None else None,
+        extra_key_policy,
+        tuple(id(fn) for fn in schema.all_validators()),
     )
-    col = compiler.violations_column()
-    if compiler.pandas_rules:
-        df = _apply_pandas_rules(df, compiler.pandas_rules)
+    memo = schema.__dict__.setdefault("_compiled_memo", {})
+    if memo_key not in memo:
+        compiler = RuleCompiler(
+            schema,
+            df.schema,
+            keys=keys,
+            ignore=ignore,
+            extra_key_policy=extra_key_policy,
+        )
+        memo[memo_key] = (compiler.violations_column(), compiler.pandas_rules)
+    col, pandas_rules = memo[memo_key]
+    if pandas_rules:
+        df = _apply_pandas_rules(df, pandas_rules)
     out = df.withColumn(violations_col, col)
-    if compiler.pandas_rules:
-        out = out.drop(*[r.column_name for r in compiler.pandas_rules])
+    if pandas_rules:
+        out = out.drop(*[r.column_name for r in pandas_rules])
 
     # V10 doc validators: whole-document functions returning violation lists
     # (reference validateDocument.ts:18-58) — one Arrow-batched pandas UDF
